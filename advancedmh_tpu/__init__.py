@@ -1,0 +1,97 @@
+"""advancedmh_tpu — a TPU-native Metropolis-Hastings inference framework.
+
+A from-scratch JAX/XLA/Pallas framework covering the full capability surface
+of TuringLang/AdvancedMH.jl (reference mounted at /root/reference, v0.8.8),
+re-architected TPU-first: samplers are pure ``(key, state) → (state, info)``
+kernels composed by ``lax.scan`` over steps, ``vmap`` over thousands of
+chains per chip, and ``shard_map`` over a ``chains`` device-mesh axis.
+
+Public surface ≙ the reference exports (src/AdvancedMH.jl:15-30).
+"""
+
+from .distributions import (
+    Distribution,
+    Normal,
+    LogNormal,
+    Uniform,
+    Exponential,
+    Laplace,
+    Cauchy,
+    StudentT,
+    TDist,
+    Gamma,
+    InverseGamma,
+    Beta,
+    MvNormal,
+)
+from .models import (
+    DensityModel,
+    CapabilityOrder,
+    as_model,
+    logdensity,
+    logdensity_and_gradient,
+    guarded_logdensity,
+)
+from .proposals import (
+    Proposal,
+    StaticProposal,
+    RandomWalkProposal,
+    SymmetricStaticProposal,
+    SymmetricRandomWalkProposal,
+    propose,
+    propose_initial,
+    q,
+    logratio_proposal_density,
+)
+from .samplers import (
+    MetropolisHastings,
+    StaticMH,
+    RWMH,
+    MALA,
+    RobustAdaptiveMetropolis,
+    RobustAdaptiveMetropolisState,
+    Ensemble,
+    StretchProposal,
+    Transition,
+    GradientTransition,
+    getparams,
+    setparams,
+)
+from .runtime import (
+    sample,
+    Schedule,
+    SamplingResult,
+    MCMCSerial,
+    MCMCThreads,
+    MCMCDistributed,
+)
+from .output import Chains, StructArray
+from .diagnostics import ess, rhat, mcse
+from .parallel import make_mesh, chain_sharding
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # distributions
+    "Distribution", "Normal", "LogNormal", "Uniform", "Exponential", "Laplace",
+    "Cauchy", "StudentT", "TDist", "Gamma", "InverseGamma", "Beta", "MvNormal",
+    # models
+    "DensityModel", "CapabilityOrder", "as_model", "logdensity",
+    "logdensity_and_gradient", "guarded_logdensity",
+    # proposals
+    "Proposal", "StaticProposal", "RandomWalkProposal",
+    "SymmetricStaticProposal", "SymmetricRandomWalkProposal",
+    "propose", "propose_initial", "q", "logratio_proposal_density",
+    # samplers
+    "MetropolisHastings", "StaticMH", "RWMH", "MALA",
+    "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
+    "Ensemble", "StretchProposal", "Transition", "GradientTransition",
+    "getparams", "setparams",
+    # runtime
+    "sample", "Schedule", "SamplingResult",
+    "MCMCSerial", "MCMCThreads", "MCMCDistributed",
+    # output / diagnostics
+    "Chains", "StructArray", "ess", "rhat", "mcse",
+    # parallel
+    "make_mesh", "chain_sharding",
+]

@@ -1,0 +1,77 @@
+"""Effective sample size, split-R̂, and MCSE.
+
+The reference delegates these to MCMCChains downstream (reference
+README.md:57-63 shows ess/rhat columns); here they are first-class, computed
+with FFT-based autocovariance (O(N log N)) so they run on-device over the
+full (draws × chains) batch.
+
+Algorithms follow Vehtari et al. 2021 (rank-normalization omitted for the
+plain variants): ESS via Geyer's initial monotone positive sequence over
+chain-averaged autocorrelations; R̂ as split-chain potential scale reduction.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _autocov(x: jax.Array) -> jax.Array:
+    """Biased autocovariance per chain via FFT. x: (N, C) -> (N, C)."""
+    n = x.shape[0]
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = jnp.fft.rfft(xc, n=nfft, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:n]
+    return acov / n
+
+
+def ess(x: jax.Array) -> jax.Array:
+    """Effective sample size of draws ``x`` shaped (N,), (N, C).
+
+    Returns a scalar ESS aggregated over chains (total draws deflated by the
+    integrated autocorrelation time).
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    n, c = x.shape
+    acov = _autocov(x)  # (N, C)
+    # Between/within blending as in Vehtari et al. (2021), eq. 10.
+    mean_var = jnp.mean(acov[0]) * n / (n - 1.0)
+    var_plus = mean_var * (n - 1.0) / n
+    if c > 1:
+        var_plus = var_plus + jnp.var(jnp.mean(x, axis=0), ddof=1)
+    rho = 1.0 - (mean_var - jnp.mean(acov, axis=1)) / var_plus  # (N,)
+
+    # Geyer initial positive monotone sequence on paired sums
+    # P_k = rho_{2k} + rho_{2k+1}: monotone-enforce via running min, then the
+    # first non-positive pair truncates everything after it (the running min
+    # keeps subsequent pairs non-positive, so masking == truncation).
+    n_pairs = n // 2
+    pair_sums = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]
+    pair_sums = jax.lax.associative_scan(jnp.minimum, pair_sums)
+    tau = 2.0 * jnp.sum(jnp.where(pair_sums > 0, pair_sums, 0.0)) - 1.0
+    tau = jnp.maximum(tau, 1e-6)
+    return n * c / tau
+
+
+def rhat(x: jax.Array) -> jax.Array:
+    """Split-chain R̂ of draws ``x`` shaped (N,) or (N, C)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    n, c = x.shape
+    half = n // 2
+    x = jnp.concatenate([x[:half], x[half : 2 * half]], axis=1)  # (half, 2C)
+    n, m = x.shape
+    chain_means = jnp.mean(x, axis=0)
+    chain_vars = jnp.var(x, axis=0, ddof=1)
+    between = n * jnp.var(chain_means, ddof=1)
+    within = jnp.mean(chain_vars)
+    var_plus = (n - 1.0) / n * within + between / n
+    return jnp.sqrt(var_plus / within)
+
+
+def mcse(x: jax.Array) -> jax.Array:
+    """Monte-Carlo standard error of the mean via ESS."""
+    if x.ndim == 1:
+        x = x[:, None]
+    return jnp.std(x) / jnp.sqrt(ess(x))

@@ -1,0 +1,15 @@
+from .chains import Chains
+from .bundle import (
+    StructArray,
+    bundle_chains,
+    bundle_structarray,
+    bundle_namedtuples,
+)
+
+__all__ = [
+    "Chains",
+    "StructArray",
+    "bundle_chains",
+    "bundle_structarray",
+    "bundle_namedtuples",
+]

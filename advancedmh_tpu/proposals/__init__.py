@@ -1,0 +1,25 @@
+from .core import (
+    Proposal,
+    StaticProposal,
+    RandomWalkProposal,
+    SymmetricStaticProposal,
+    SymmetricRandomWalkProposal,
+    propose,
+    propose_initial,
+    q,
+    logratio_proposal_density,
+    is_proposal,
+)
+
+__all__ = [
+    "Proposal",
+    "StaticProposal",
+    "RandomWalkProposal",
+    "SymmetricStaticProposal",
+    "SymmetricRandomWalkProposal",
+    "propose",
+    "propose_initial",
+    "q",
+    "logratio_proposal_density",
+    "is_proposal",
+]

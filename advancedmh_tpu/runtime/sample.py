@@ -1,0 +1,346 @@
+"""The sampling runtime: scan over steps, vmap over chains, shard over mesh.
+
+≙ the AbstractMCMC driver the reference delegates to (re-exported ``sample``,
+``MCMCSerial/MCMCThreads/MCMCDistributed`` at reference src/AdvancedMH.jl:30;
+semantics exercised throughout reference test/runtests.jl). The architecture
+is the TPU-native inversion of the reference's one-step-per-call design
+(SURVEY.md §7):
+
+    sampler kernel (pure)            ──  samplers/*
+    └─ lax.scan over steps           ──  this file (static warmup/thinning
+       │                                 segmentation: zero per-step branching)
+    └─ vmap over chains              ──  this file
+    └─ shard_map over 'chains' mesh  ──  parallel/sharded.py
+
+Chain parallelism (≙ MCMCThreads/MCMCDistributed, one chain per thread/worker
+in the reference) becomes a batched device axis: thousands of chains per chip,
+zero collectives in the hot loop.
+
+RNG: chain c derives key ``fold_in(master, c)``; step j uses
+``fold_in(chain_key, j)`` (init is j=0). Fully deterministic, resumable, and
+independent of chunking/sharding layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.density import as_model
+from ..samplers.base import Sampler
+from ..utils import KeyArray, as_key
+from .schedule import Schedule
+
+
+# --- chain-parallel execution strategies (≙ AbstractMCMC ensembles) ---------
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCSerial:
+    """≙ AbstractMCMC.MCMCSerial: chains run one after another (debug aid)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCThreads:
+    """≙ AbstractMCMC.MCMCThreads. On TPU, 'one chain per thread' becomes
+    'one chain per vector lane': a vmapped batch on the local device."""
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCDistributed:
+    """≙ AbstractMCMC.MCMCDistributed. On TPU, 'one chain per worker process'
+    becomes chains sharded over the device mesh via shard_map."""
+
+    mesh: Optional[Any] = None
+    axis: str = "chains"
+
+
+ChainMethod = Union[str, MCMCSerial, MCMCThreads, MCMCDistributed, None]
+
+
+def _resolve_chain_method(method: ChainMethod) -> Tuple[str, Optional[Any], str]:
+    if method is None or method == "vmap" or isinstance(method, MCMCThreads):
+        return "vmap", None, "chains"
+    if method == "sequential" or isinstance(method, MCMCSerial):
+        return "sequential", None, "chains"
+    if isinstance(method, MCMCDistributed):
+        return "shard_map", method.mesh, method.axis
+    if method == "shard_map":
+        return "shard_map", None, "chains"
+    raise ValueError(f"Unknown chain method: {method!r}")
+
+
+# --- single-chain driver ----------------------------------------------------
+
+
+def build_chain_fn(
+    sampler: Sampler,
+    model,
+    schedule: Schedule,
+    collect_states: bool = False,
+) -> Callable:
+    """Build ``chain_fn(chain_key[, initial_params]) -> (samples, final_state)``.
+
+    The warmup/discard/thinning structure is segmented *statically* (all
+    schedule fields are Python ints), so the compiled program contains plain
+    ``lax.scan`` loops with no per-step branching — warmup-free samplers
+    compile a single step body, RAM compiles one warmup scan and one main
+    scan.
+    """
+    model = as_model(model)
+    W, D, th, N = (
+        schedule.num_warmup,
+        schedule.discard_initial,
+        schedule.thinning,
+        schedule.n_samples,
+    )
+    has_warmup = sampler.has_warmup_phase
+
+    def step_fn(warmup: bool):
+        return sampler.step_warmup if (warmup and has_warmup) else sampler.step
+
+    def run_span(state, chain_key, j0: int, n: int, warmup: bool):
+        """Steps j0..j0+n-1, discarding outputs."""
+        if n <= 0:
+            return state
+        fn = step_fn(warmup)
+
+        def body(st, j):
+            _, s = fn(jax.random.fold_in(chain_key, j), st, model)
+            return s, None
+
+        state, _ = lax.scan(body, state, jnp.arange(j0, j0 + n))
+        return state
+
+    def emit(state):
+        t = sampler.transition_of(state)
+        return (t, state) if collect_states else t
+
+    def collect_span(state, chain_key, j0: int, n_groups: int, warmup: bool):
+        """``n_groups`` groups of ``th`` steps; emits after each group."""
+        if n_groups <= 0:
+            return state, None
+        fn = step_fn(warmup)
+
+        def body(st, start):
+            if th == 1:
+                _, s = fn(jax.random.fold_in(chain_key, start), st, model)
+            else:
+
+                def inner(st2, j):
+                    _, s2 = fn(jax.random.fold_in(chain_key, j), st2, model)
+                    return s2, None
+
+                s, _ = lax.scan(inner, st, start + jnp.arange(th))
+            return s, emit(s)
+
+        starts = j0 + jnp.arange(n_groups) * th
+        return lax.scan(body, state, starts)
+
+    def chain_fn(chain_key, initial_params=None):
+        _, state = sampler.init(
+            jax.random.fold_in(chain_key, 0), model, initial_params
+        )
+
+        # Sample 1: the state after `discard_initial` steps (init if D == 0).
+        bw = min(W, D)
+        state = run_span(state, chain_key, 1, bw, True)
+        state = run_span(state, chain_key, 1 + bw, D - bw, False)
+        parts = [jax.tree_util.tree_map(lambda x: x[None], emit(state))]
+
+        # Samples 2..N in groups of `th` steps. Steps j <= W are warmup;
+        # segment statically into [full-warmup groups | straddle | main].
+        n_groups = N - 1
+        wrem = max(0, W - D)
+        n_wfull = min(wrem // th, n_groups)
+        straddle = 1 if (wrem - n_wfull * th > 0 and n_wfull < n_groups) else 0
+        n_main = n_groups - n_wfull - straddle
+        j = D + 1
+
+        state, out_w = collect_span(state, chain_key, j, n_wfull, True)
+        j += n_wfull * th
+        if out_w is not None:
+            parts.append(out_w)
+
+        if straddle:
+            kw = wrem - n_wfull * th
+            state = run_span(state, chain_key, j, kw, True)
+            state = run_span(state, chain_key, j + kw, th - kw, False)
+            parts.append(jax.tree_util.tree_map(lambda x: x[None], emit(state)))
+            j += th
+
+        state, out_m = collect_span(state, chain_key, j, n_main, False)
+        if out_m is not None:
+            parts.append(out_m)
+
+        samples = (
+            parts[0]
+            if len(parts) == 1
+            else jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts
+            )
+        )
+        return samples, state
+
+    return chain_fn
+
+
+# --- result container -------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SamplingResult:
+    """Raw device-side sampling output.
+
+    ``transitions`` is a Transition/GradientTransition pytree with leaves of
+    shape ``(n_samples, ...)`` (single chain) or ``(num_chains, n_samples,
+    ...)``. Use :meth:`to_chains` / :meth:`to_structarray` /
+    :meth:`to_namedtuples` (output/) for the reference's bundle formats.
+    """
+
+    transitions: Any
+    final_state: Any
+    schedule: Schedule
+    num_chains: Optional[int]
+    states: Any = None  # populated when collect_states=True
+    sampler: Any = None
+
+    def to_chains(self, param_names=None):
+        from ..output.bundle import bundle_chains
+
+        return bundle_chains(self, param_names=param_names)
+
+    def to_structarray(self, param_names=None):
+        from ..output.bundle import bundle_structarray
+
+        return bundle_structarray(self, param_names=param_names)
+
+    def to_namedtuples(self, param_names=None):
+        from ..output.bundle import bundle_namedtuples
+
+        return bundle_namedtuples(self, param_names=param_names)
+
+
+# --- public front-end -------------------------------------------------------
+
+
+def sample(
+    model,
+    sampler: Sampler,
+    n_samples: int,
+    *,
+    key: Union[int, KeyArray] = 0,
+    num_chains: Optional[int] = None,
+    chain_method: ChainMethod = None,
+    initial_params: Any = None,
+    initial_params_batched: bool = False,
+    num_warmup: int = 0,
+    discard_initial: Optional[int] = None,
+    thinning: int = 1,
+    collect_states: bool = False,
+    chain_type: Optional[str] = None,
+    param_names=None,
+    progress: bool = False,  # accepted for API parity; progress is reported
+    # at chunk granularity by runtime/chunked.py, not per-step
+):
+    """Draw ``n_samples`` per chain (≙ AbstractMCMC ``sample``; see
+    runtime/schedule.py for the exact iteration contract).
+
+    ``num_chains=None`` runs a single chain with no chain axis. Otherwise
+    chains are an explicit batch axis executed by ``chain_method``:
+    ``MCMCThreads()``/"vmap" (default; one chain per vector lane),
+    ``MCMCDistributed()``/"shard_map" (chains sharded over the device mesh),
+    ``MCMCSerial()``/"sequential" (debug).
+
+    ``chain_type`` ∈ {None, "chains", "structarray", "namedtuples"} selects
+    the output bundle (≙ the reference's chain_type= kwarg and ext/ output
+    adapters); None returns the raw :class:`SamplingResult`.
+    """
+    model = as_model(model)
+    schedule = Schedule(
+        n_samples=n_samples,
+        num_warmup=num_warmup,
+        discard_initial=discard_initial,
+        thinning=thinning,
+    )
+    master = as_key(key)
+    chain_fn = build_chain_fn(sampler, model, schedule, collect_states)
+    method, mesh, axis = _resolve_chain_method(chain_method)
+
+    if num_chains is None:
+        fn = jax.jit(chain_fn) if initial_params is not None else jax.jit(
+            lambda k: chain_fn(k)
+        )
+        args = (master,) if initial_params is None else (master, initial_params)
+        out, final_state = fn(*args)
+    else:
+        chain_keys = jax.random.split(master, num_chains)
+        if initial_params is None:
+            batched = jax.vmap(lambda k: chain_fn(k))
+            args = (chain_keys,)
+        elif initial_params_batched:
+            batched = jax.vmap(chain_fn)
+            args = (chain_keys, initial_params)
+        else:
+            batched = jax.vmap(lambda k: chain_fn(k, initial_params))
+            args = (chain_keys,)
+
+        if method == "vmap":
+            out, final_state = jax.jit(batched)(*args)
+        elif method == "sequential":
+            if initial_params is None:
+                single = jax.jit(lambda k: chain_fn(k))
+                results = [single(chain_keys[c]) for c in range(num_chains)]
+            elif initial_params_batched:
+                single = jax.jit(chain_fn)
+                results = [
+                    single(
+                        chain_keys[c],
+                        jax.tree_util.tree_map(lambda x: x[c], initial_params),
+                    )
+                    for c in range(num_chains)
+                ]
+            else:
+                single = jax.jit(lambda k: chain_fn(k, initial_params))
+                results = [single(chain_keys[c]) for c in range(num_chains)]
+            out = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[r[0] for r in results]
+            )
+            final_state = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[r[1] for r in results]
+            )
+        elif method == "shard_map":
+            from ..parallel.sharded import shard_chain_fn
+
+            sharded = shard_chain_fn(
+                batched, mesh=mesh, axis=axis, num_chains=num_chains
+            )
+            out, final_state = sharded(*args)
+        else:  # pragma: no cover
+            raise ValueError(method)
+
+    if collect_states:
+        transitions, states = out
+    else:
+        transitions, states = out, None
+
+    result = SamplingResult(
+        transitions=transitions,
+        final_state=final_state,
+        schedule=schedule,
+        num_chains=num_chains,
+        states=states,
+        sampler=sampler,
+    )
+    if chain_type in (None, "raw"):
+        return result
+    if chain_type == "chains":
+        return result.to_chains(param_names=param_names)
+    if chain_type == "structarray":
+        return result.to_structarray(param_names=param_names)
+    if chain_type in ("namedtuples", "vector_of_namedtuples"):
+        return result.to_namedtuples(param_names=param_names)
+    raise ValueError(f"Unknown chain_type: {chain_type!r}")

@@ -1,0 +1,31 @@
+from .base import (
+    Sampler,
+    Transition,
+    GradientTransition,
+    accept_reject,
+    select_tree,
+    getparams,
+    setparams,
+)
+from .mh import MetropolisHastings, StaticMH, RWMH
+from .mala import MALA
+from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
+from .emcee import Ensemble, StretchProposal
+
+__all__ = [
+    "Sampler",
+    "Transition",
+    "GradientTransition",
+    "accept_reject",
+    "select_tree",
+    "getparams",
+    "setparams",
+    "MetropolisHastings",
+    "StaticMH",
+    "RWMH",
+    "MALA",
+    "RobustAdaptiveMetropolis",
+    "RobustAdaptiveMetropolisState",
+    "Ensemble",
+    "StretchProposal",
+]

@@ -1,0 +1,97 @@
+"""Generic Metropolis-Hastings kernel (≙ reference src/mh-core.jl).
+
+One fused step: propose → logdensity → Hastings ratio → branchless
+accept/reject. Under ``vmap`` this is a single XLA program over the whole
+chain batch; under ``lax.scan`` the per-step Python dispatch of the reference
+disappears entirely — N steps compile to one while-loop.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import MvNormal
+from ..models.density import as_model, logdensity
+from ..proposals import (
+    RandomWalkProposal,
+    StaticProposal,
+    logratio_proposal_density,
+    propose,
+    propose_initial,
+)
+from ..utils import KeyArray
+from .base import Sampler, Transition, accept_reject, select_tree
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class MetropolisHastings(Sampler):
+    """≙ ``MetropolisHastings(proposal)`` (src/mh-core.jl:44-46).
+
+    ``proposal`` is a :class:`Proposal` leaf or an arbitrary pytree of
+    proposals (dict ≙ NamedTuple, tuple, list); samples come back in the
+    shape of the proposal.
+
+    Samplers are plain (non-pytree) frozen dataclasses: kernels close over
+    them, so their contents are baked into the compiled program as constants.
+    """
+
+    proposal: Any
+
+    def init(
+        self, key: KeyArray, model, initial_params: Optional[Any] = None
+    ) -> Tuple[Transition, Transition]:
+        """First step (≙ src/mh-core.jl:76-86): draw from the proposal unless
+        ``initial_params`` is given; the initial sample is the initial state."""
+        model = as_model(model)
+        params = (
+            propose_initial(key, self.proposal)
+            if initial_params is None
+            else initial_params
+        )
+        lp = logdensity(model, params)
+        t = Transition(params, lp, jnp.zeros((), dtype=bool))
+        return t, t
+
+    def step(
+        self, key: KeyArray, state: Transition, model
+    ) -> Tuple[Transition, Transition]:
+        """Subsequent steps (≙ src/mh-core.jl:92-117)."""
+        model = as_model(model)
+        key_prop, key_acc = jax.random.split(key)
+
+        candidate = propose(key_prop, self.proposal, state.params)
+        lp_candidate = logdensity(model, candidate)
+        logalpha = (
+            lp_candidate
+            - state.lp
+            + logratio_proposal_density(self.proposal, state.params, candidate)
+        )
+        accepted = accept_reject(key_acc, logalpha)
+        params = select_tree(accepted, candidate, state.params)
+        lp = jnp.where(accepted, lp_candidate, state.lp)
+        t = Transition(params, lp, accepted)
+        return t, t
+
+
+def StaticMH(d) -> MetropolisHastings:
+    """≙ ``StaticMH`` (src/mh-core.jl:48-49): independence sampler.
+
+    ``StaticMH(k)`` with an int builds a standard k-dim MvNormal proposal
+    (≙ ``MvNormal(Zeros(d), I)``).
+    """
+    if isinstance(d, int):
+        d = MvNormal.standard(d)
+    return MetropolisHastings(StaticProposal(d))
+
+
+def RWMH(d) -> MetropolisHastings:
+    """≙ ``RWMH`` (src/mh-core.jl:50-51): random-walk Metropolis.
+
+    ``RWMH(k)`` with an int builds a standard k-dim MvNormal increment.
+    """
+    if isinstance(d, int):
+        d = MvNormal.standard(d)
+    return MetropolisHastings(RandomWalkProposal(d))

@@ -1,0 +1,12 @@
+from .pytree import pytree_dataclass, static_field, replace
+from .keys import as_key, split_like, key_iter, KeyArray
+
+__all__ = [
+    "pytree_dataclass",
+    "static_field",
+    "replace",
+    "as_key",
+    "split_like",
+    "key_iter",
+    "KeyArray",
+]
