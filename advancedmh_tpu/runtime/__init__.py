@@ -7,6 +7,7 @@ from .sample import (
     MCMCThreads,
     MCMCDistributed,
 )
+from .checkpoint import save_state, load_state
 
 __all__ = [
     "Schedule",
@@ -16,4 +17,6 @@ __all__ = [
     "MCMCSerial",
     "MCMCThreads",
     "MCMCDistributed",
+    "save_state",
+    "load_state",
 ]

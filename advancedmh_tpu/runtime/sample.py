@@ -81,6 +81,8 @@ def build_chain_fn(
     model,
     schedule: Schedule,
     collect_states: bool = False,
+    from_state: bool = False,
+    iteration_offset: int = 0,
 ) -> Callable:
     """Build ``chain_fn(chain_key[, initial_params]) -> (samples, final_state)``.
 
@@ -89,8 +91,15 @@ def build_chain_fn(
     ``lax.scan`` loops with no per-step branching — warmup-free samplers
     compile a single step body, RAM compiles one warmup scan and one main
     scan.
+
+    ``from_state=True`` makes the returned function take a previously
+    obtained sampler *state* instead of initial params (checkpoint resume);
+    ``iteration_offset`` shifts the per-step RNG indices so a resumed run is
+    bit-identical to an uninterrupted one (pass the absolute iteration count
+    already consumed, i.e. ``prev_schedule.total_steps`` accumulated).
     """
     model = as_model(model)
+    OFF = iteration_offset
     W, D, th, N = (
         schedule.num_warmup,
         schedule.discard_initial,
@@ -140,15 +149,18 @@ def build_chain_fn(
         starts = j0 + jnp.arange(n_groups) * th
         return lax.scan(body, state, starts)
 
-    def chain_fn(chain_key, initial_params=None):
-        _, state = sampler.init(
-            jax.random.fold_in(chain_key, 0), model, initial_params
-        )
+    def chain_fn(chain_key, arg=None):
+        if from_state:
+            state = arg
+        else:
+            _, state = sampler.init(
+                jax.random.fold_in(chain_key, 0), model, arg
+            )
 
         # Sample 1: the state after `discard_initial` steps (init if D == 0).
         bw = min(W, D)
-        state = run_span(state, chain_key, 1, bw, True)
-        state = run_span(state, chain_key, 1 + bw, D - bw, False)
+        state = run_span(state, chain_key, OFF + 1, bw, True)
+        state = run_span(state, chain_key, OFF + 1 + bw, D - bw, False)
         parts = [jax.tree_util.tree_map(lambda x: x[None], emit(state))]
 
         # Samples 2..N in groups of `th` steps. Steps j <= W are warmup;
@@ -158,7 +170,7 @@ def build_chain_fn(
         n_wfull = min(wrem // th, n_groups)
         straddle = 1 if (wrem - n_wfull * th > 0 and n_wfull < n_groups) else 0
         n_main = n_groups - n_wfull - straddle
-        j = D + 1
+        j = OFF + D + 1
 
         state, out_w = collect_span(state, chain_key, j, n_wfull, True)
         j += n_wfull * th
@@ -237,6 +249,8 @@ def sample(
     chain_method: ChainMethod = None,
     initial_params: Any = None,
     initial_params_batched: bool = False,
+    initial_state: Any = None,
+    iteration_offset: int = 0,
     num_warmup: int = 0,
     discard_initial: Optional[int] = None,
     thinning: int = 1,
@@ -267,8 +281,17 @@ def sample(
         thinning=thinning,
     )
     master = as_key(key)
-    chain_fn = build_chain_fn(sampler, model, schedule, collect_states)
+    from_state = initial_state is not None
+    chain_fn = build_chain_fn(
+        sampler, model, schedule, collect_states,
+        from_state=from_state, iteration_offset=iteration_offset,
+    )
     method, mesh, axis = _resolve_chain_method(chain_method)
+    if from_state:
+        # Resume: the state is already (per-chain) batched; thread it through
+        # the same batched paths as batched initial params.
+        initial_params = initial_state
+        initial_params_batched = True
 
     if num_chains is None:
         fn = jax.jit(chain_fn) if initial_params is not None else jax.jit(

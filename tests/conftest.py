@@ -3,17 +3,24 @@
 Sharding/multi-chip paths are validated on host CPU with
 ``--xla_force_host_platform_device_count=8`` (the driver separately
 dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
-Must set env vars BEFORE jax is imported anywhere.
+
+Note: this environment's sitecustomize registers the axon TPU backend and
+force-sets ``jax_platforms="axon,cpu"`` at interpreter start, so plain env
+vars are not enough — we must override jax.config after import, before any
+backend is initialized.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

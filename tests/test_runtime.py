@@ -1,0 +1,207 @@
+"""Runtime semantics: schedule contract, output shapes/names, determinism.
+
+≙ reference test/runtests.jl "MCMCChains" (:113-178), "Proposal styles"
+(:181-201), "Initial parameters" (:203-213) testsets and the iteration
+bookkeeping of AbstractMCMC.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advancedmh_tpu import (
+    Chains,
+    DensityModel,
+    InverseGamma,
+    MetropolisHastings,
+    Normal,
+    Schedule,
+    StaticMH,
+    StaticProposal,
+    StructArray,
+    ess,
+    rhat,
+    sample,
+)
+from tests.test_mh import MODEL
+
+
+class TestSchedule:
+    def test_defaults(self):
+        s = Schedule(n_samples=100)
+        assert s.discard_initial == 0 and s.total_steps == 99
+
+    def test_discard_defaults_to_warmup(self):
+        s = Schedule(n_samples=100, num_warmup=50)
+        assert s.discard_initial == 50
+
+    def test_iteration_labels(self):
+        s = Schedule(n_samples=10_000, discard_initial=25, thinning=4)
+        it = s.iterations()
+        assert it == range(26, 26 + 4 * 10_000, 4)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            Schedule(n_samples=0)
+        with pytest.raises(ValueError):
+            Schedule(n_samples=10, thinning=0)
+
+
+class TestOutputKeys:
+    """≙ "Proposal styles" (:181-201): keys follow the proposal shape."""
+
+    def test_scalar_proposal(self):
+        m = DensityModel(lambda x: Normal(x, 1.0).log_prob(1.0))
+        c = sample(m, MetropolisHastings(StaticProposal(Normal(0.0, 1.0))),
+                   100, key=0, chain_type="namedtuples")
+        assert set(c[0].keys()) == {"param_1", "lp"}
+
+    def test_array_proposal(self):
+        m = DensityModel(lambda x: Normal(x[0], x[1]).log_prob(1.0))
+        c = sample(
+            m,
+            MetropolisHastings(
+                StaticProposal([Normal(0.0, 1.0), InverseGamma(2.0, 3.0)])
+            ),
+            100, key=0, chain_type="namedtuples",
+        )
+        assert set(c[0].keys()) == {"param_1", "param_2", "lp"}
+
+    def test_dict_proposal(self):
+        m = DensityModel(lambda x: Normal(x["a"], x["b"]).log_prob(1.0))
+        c = sample(
+            m,
+            MetropolisHastings(
+                {"a": StaticProposal(Normal(0.0, 1.0)),
+                 "b": StaticProposal(InverseGamma(2.0, 3.0))}
+            ),
+            100, key=0, chain_type="namedtuples",
+        )
+        assert set(c[0].keys()) == {"a", "b", "lp"}
+
+    def test_functional_proposal(self):
+        m = DensityModel(lambda x: Normal(x, 1.0).log_prob(1.0))
+        c = sample(
+            m, MetropolisHastings(StaticProposal(lambda x=1.0: Normal(x, 1.0))),
+            100, key=0, chain_type="namedtuples",
+        )
+        assert set(c[0].keys()) == {"param_1", "lp"}
+
+
+class TestInitialParams:
+    def test_honored_as_first_sample(self):
+        """≙ "Initial parameters" (:203-213)."""
+        val = jnp.asarray([0.4, 1.2])
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        res = sample(MODEL, spl, 10, key=0, initial_params=val)
+        np.testing.assert_allclose(np.asarray(res.transitions.params)[0], [0.4, 1.2])
+
+    def test_batched_initial_params(self):
+        vals = jnp.asarray([[0.1, 1.0], [0.2, 1.1], [0.3, 1.2]])
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        res = sample(
+            MODEL, spl, 5, key=0, num_chains=3,
+            initial_params=vals, initial_params_batched=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.transitions.params)[:, 0, :], np.asarray(vals)
+        )
+
+
+class TestChainsBundle:
+    def test_range_and_shapes(self):
+        """≙ "MCMCChains" chain1b (:123-131)."""
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        c = sample(MODEL, spl, 1000, key=0, discard_initial=25, thinning=4,
+                   chain_type="chains", param_names=["μ", "σ"])
+        assert isinstance(c, Chains)
+        assert c.range == range(26, 26 + 4 * 1000, 4)
+        assert c.values.shape == (1000, 2, 1)
+        assert c.array.shape == (1000, 3, 1)
+        assert c.names == ["μ", "σ"]
+        assert c.internals == ["lp"]
+
+    def test_lp_column_is_logdensity(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        c = sample(MODEL, spl, 50, key=0, chain_type="chains")
+        v = np.asarray(c.values[:, :, 0])
+        lp = np.asarray(c.lp[:, 0])
+        want = np.array([float(MODEL.logdensity_fn(jnp.asarray(row))) for row in v])
+        np.testing.assert_allclose(lp, want, rtol=1e-5)
+
+    def test_chainscat(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        c1 = sample(MODEL, spl, 50, key=0, num_chains=2, chain_type="chains")
+        c2 = sample(MODEL, spl, 50, key=1, num_chains=3, chain_type="chains")
+        cat = Chains.cat(c1, c2)
+        assert cat.n_chains == 5
+
+    def test_structarray(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        sa = sample(MODEL, spl, 50, key=0, chain_type="structarray",
+                    param_names=["mu", "sigma"])
+        assert isinstance(sa, StructArray)
+        assert sa.mu.shape == (50,)
+        assert sa.lp.shape == (50,)
+        sa2 = sample(MODEL, spl, 50, key=1, chain_type="structarray",
+                     param_names=["mu", "sigma"])
+        cat = StructArray.cat(sa, sa2)
+        assert cat.mu.shape == (100,)
+
+
+class TestDeterminism:
+    def test_same_key_same_chain(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        r1 = sample(MODEL, spl, 100, key=42, num_chains=4)
+        r2 = sample(MODEL, spl, 100, key=42, num_chains=4)
+        np.testing.assert_array_equal(
+            np.asarray(r1.transitions.lp), np.asarray(r2.transitions.lp)
+        )
+
+    def test_shard_map_matches_vmap(self):
+        """Chain results are independent of the execution layout."""
+        from advancedmh_tpu import MCMCDistributed
+
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        r1 = sample(MODEL, spl, 50, key=7, num_chains=8)
+        r2 = sample(MODEL, spl, 50, key=7, num_chains=8,
+                    chain_method=MCMCDistributed())
+        np.testing.assert_allclose(
+            np.asarray(r1.transitions.lp), np.asarray(r2.transitions.lp),
+            rtol=1e-6,
+        )
+
+
+class TestDiagnostics:
+    def test_iid_ess_close_to_n(self):
+        x = jax.random.normal(jax.random.key(0), (4000, 4))
+        e = float(ess(x))
+        assert 0.5 * 16000 < e < 1.6 * 16000
+
+    def test_rhat_iid_close_to_one(self):
+        x = jax.random.normal(jax.random.key(1), (4000, 4))
+        assert abs(float(rhat(x)) - 1.0) < 0.02
+
+    def test_rhat_detects_divergent_chains(self):
+        x = jax.random.normal(jax.random.key(2), (1000, 2))
+        x = x.at[:, 1].add(10.0)
+        assert float(rhat(x)) > 2.0
+
+    def test_correlated_chain_lower_ess(self):
+        # AR(1) with strong autocorrelation
+        n = 4000
+        eps = np.random.default_rng(0).normal(size=n)
+        x = np.zeros(n)
+        for i in range(1, n):
+            x[i] = 0.95 * x[i - 1] + eps[i]
+        e = float(ess(jnp.asarray(x, jnp.float32)))
+        assert e < n / 10
+
+    def test_summary(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        c = sample(MODEL, spl, 500, key=0, num_chains=4, chain_type="chains",
+                   param_names=["μ", "σ"])
+        s = c.summary()
+        assert set(s.keys()) == {"μ", "σ"}
+        assert set(s["μ"].keys()) == {"mean", "std", "mcse", "ess", "rhat"}
+        assert s["μ"]["ess"] > 0 and 0.8 < s["μ"]["rhat"] < 1.5
