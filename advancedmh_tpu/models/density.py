@@ -49,6 +49,13 @@ class DensityModel:
     )
     dimension: Optional[int] = static_field(default=None)
     capabilities: int = static_field(default=CapabilityOrder.ONE)
+    # Optional natively-batched density ``params(C, ...) -> lp(C,)`` for the
+    # vectorized kernel path; default is vmap of logdensity_fn (XLA fuses it
+    # identically for elementwise densities — supply this only when a manual
+    # batched form maps better onto the MXU, e.g. a matmul-heavy likelihood).
+    logdensity_batched_fn: Optional[Callable[[Any], jax.Array]] = static_field(
+        default=None
+    )
 
     def logdensity(self, params) -> jax.Array:
         return self.logdensity_fn(params)
@@ -90,6 +97,13 @@ def logdensity(model: DensityModel, params) -> jax.Array:
     re-evaluate (see samplers/*).
     """
     return model.logdensity_fn(params)
+
+
+def logdensity_batched(model: DensityModel, params) -> jax.Array:
+    """Chain-batched density for the vectorized kernel path."""
+    if model.logdensity_batched_fn is not None:
+        return model.logdensity_batched_fn(params)
+    return jax.vmap(model.logdensity_fn)(params)
 
 
 def logdensity_and_gradient(model: DensityModel, params):

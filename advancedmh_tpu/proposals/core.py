@@ -90,12 +90,20 @@ def _is_dist_seq(payload) -> bool:
     )
 
 
-def _payload_sample(key: KeyArray, payload) -> jax.Array:
+def _payload_sample(
+    key: KeyArray, payload, batch_shape: tuple = ()
+) -> jax.Array:
+    """Draw from a payload. ``batch_shape`` prepends an iid batch (the chain
+    axis in the vectorized kernel path) — one RNG call for the whole batch,
+    the key to TPU throughput (no per-chain key folding)."""
     if isinstance(payload, Distribution):
-        return payload.sample(key)
+        return payload.sample(key, batch_shape)
     if _is_dist_seq(payload):
         keys = jax.random.split(key, len(payload))
-        return jnp.stack([d.sample(k) for d, k in zip(payload, keys)])
+        return jnp.stack(
+            [d.sample(k, batch_shape) for d, k in zip(payload, keys)],
+            axis=len(batch_shape),
+        )
     raise TypeError(
         f"Cannot sample from proposal payload of type {type(payload).__name__}; "
         "expected a Distribution, a sequence of Distributions, or a callable "
@@ -103,11 +111,37 @@ def _payload_sample(key: KeyArray, payload) -> jax.Array:
     )
 
 
-def _payload_logprob(payload, v) -> jax.Array:
+def _payload_sample_prebatched(key: KeyArray, payload) -> jax.Array:
+    """Draw from a payload whose *parameters* already carry the batch axis
+    (functional proposals resolved against batched state): one RNG call,
+    shape follows the payload's own broadcast shape."""
     if isinstance(payload, Distribution):
-        return jnp.sum(payload.log_prob(v))
+        return payload.sample(key)
     if _is_dist_seq(payload):
-        return sum(jnp.sum(d.log_prob(v[i])) for i, d in enumerate(payload))
+        keys = jax.random.split(key, len(payload))
+        return jnp.stack(
+            [d.sample(k) for d, k in zip(payload, keys)], axis=-1
+        )
+    raise TypeError(
+        f"Cannot sample from proposal payload of type {type(payload).__name__}."
+    )
+
+
+def _payload_logprob(payload, v, batch_ndim: int = 0) -> jax.Array:
+    """Proposal log-density summed over event dims, keeping the leading
+    ``batch_ndim`` axes (0 in the per-chain kernel, 1 in the vectorized one)."""
+
+    def _reduce(lp):
+        axes = tuple(range(batch_ndim, lp.ndim))
+        return jnp.sum(lp, axis=axes) if axes else lp
+
+    if isinstance(payload, Distribution):
+        return _reduce(payload.log_prob(v))
+    if _is_dist_seq(payload):
+        idx = (slice(None),) * batch_ndim
+        return sum(
+            _reduce(d.log_prob(v[idx + (i,)])) for i, d in enumerate(payload)
+        )
     raise TypeError(
         f"Cannot evaluate log_prob of proposal payload {type(payload).__name__}."
     )
@@ -142,7 +176,11 @@ def _tree_map_with_keys(fn, key, proposals, *rest):
     return treedef.unflatten(out)
 
 
-def propose_initial(key: KeyArray, proposals):
+def _leaf_is_functional(p: Proposal) -> bool:
+    return callable(p.payload) and not isinstance(p.payload, Distribution)
+
+
+def propose_initial(key: KeyArray, proposals, batch_shape: tuple = ()):
     """Initial draw: sample each leaf's payload directly.
 
     ≙ first-step ``propose(rng, sampler, model)`` (src/mh-core.jl:76-86 via
@@ -151,29 +189,48 @@ def propose_initial(key: KeyArray, proposals):
     """
 
     def draw(k, p):
-        return _payload_sample(k, _resolve(p, None).payload)
+        return _payload_sample(k, _resolve(p, None).payload, batch_shape)
 
     return _tree_map_with_keys(draw, key, proposals)
 
 
-def propose(key: KeyArray, proposals, params):
+def propose(
+    key: KeyArray, proposals, params, batch_shape: tuple = (), conditioner=None
+):
     """Propose a candidate conditioned on the current ``params`` pytree.
 
     ≙ ``propose(rng, proposal, model, t)`` (src/proposal.jl:49-56, :70-85,
     :104-126, :132-175). The ``params`` tree must match the proposal tree
     leaf-for-leaf.
+
+    With ``batch_shape`` (the vectorized kernel path) the ``params`` leaves
+    carry a leading chain batch; fixed-distribution payloads draw
+    ``batch_shape`` iid samples in one RNG call, while functional payloads
+    resolve against the batched conditioner (their distribution parameters
+    then already broadcast the batch, so a single un-shaped draw suffices).
+
+    ``conditioner`` is the tree functional payloads are resolved against;
+    it defaults to ``params`` (MALA resolves against the *gradient* instead,
+    ≙ src/MALA.jl:70).
     """
+    if conditioner is None:
+        conditioner = params
 
-    def draw(k, p, t):
-        p = _resolve(p, t)
+    def draw(k, p, t, c):
+        functional = _leaf_is_functional(p)
+        p = _resolve(p, c)
+        if functional and batch_shape:
+            draw_fn = lambda kk: _payload_sample_prebatched(kk, p.payload)
+        else:
+            draw_fn = lambda kk: _payload_sample(kk, p.payload, batch_shape)
         if isinstance(p, RandomWalkProposal):
-            return t + _payload_sample(k, p.payload)
-        return _payload_sample(k, p.payload)
+            return t + draw_fn(k)
+        return draw_fn(k)
 
-    return _tree_map_with_keys(draw, key, proposals, params)
+    return _tree_map_with_keys(draw, key, proposals, params, conditioner)
 
 
-def q(proposals, t, t_cond) -> jax.Array:
+def q(proposals, t, t_cond, batch_ndim: int = 0) -> jax.Array:
     """Proposal log-density ``log g(t | t_cond)`` summed over the tree.
 
     ≙ ``q`` (src/proposal.jl:58-64, :80-85, :120-126).
@@ -185,13 +242,13 @@ def q(proposals, t, t_cond) -> jax.Array:
     for p, tl, tcl in zip(leaves, t_leaves, tc_leaves):
         p = _resolve(p, tcl)
         if isinstance(p, RandomWalkProposal):
-            total = total + _payload_logprob(p.payload, tl - tcl)
+            total = total + _payload_logprob(p.payload, tl - tcl, batch_ndim)
         else:
-            total = total + _payload_logprob(p.payload, tl)
+            total = total + _payload_logprob(p.payload, tl, batch_ndim)
     return total
 
 
-def logratio_proposal_density(proposals, state, candidate):
+def logratio_proposal_density(proposals, state, candidate, batch_ndim: int = 0):
     """Hastings correction ``log g(state|candidate) − log g(candidate|state)``.
 
     ≙ ``logratio_proposal_density`` (src/proposal.jl:190-240). Symmetric
@@ -212,13 +269,13 @@ def logratio_proposal_density(proposals, state, candidate):
         if isinstance(p, RandomWalkProposal):
             total = (
                 total
-                + _payload_logprob(p_bwd.payload, sl - cl)
-                - _payload_logprob(p_fwd.payload, cl - sl)
+                + _payload_logprob(p_bwd.payload, sl - cl, batch_ndim)
+                - _payload_logprob(p_fwd.payload, cl - sl, batch_ndim)
             )
         else:
             total = (
                 total
-                + _payload_logprob(p_bwd.payload, sl)
-                - _payload_logprob(p_fwd.payload, cl)
+                + _payload_logprob(p_bwd.payload, sl, batch_ndim)
+                - _payload_logprob(p_fwd.payload, cl, batch_ndim)
             )
     return total

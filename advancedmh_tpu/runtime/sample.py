@@ -83,6 +83,9 @@ def build_chain_fn(
     collect_states: bool = False,
     from_state: bool = False,
     iteration_offset: int = 0,
+    batch_shape: Optional[Tuple[int, ...]] = None,
+    init_batched: bool = False,
+    state_sharding: Optional[Any] = None,
 ) -> Callable:
     """Build ``chain_fn(chain_key[, initial_params]) -> (samples, final_state)``.
 
@@ -97,6 +100,13 @@ def build_chain_fn(
     ``iteration_offset`` shifts the per-step RNG indices so a resumed run is
     bit-identical to an uninterrupted one (pass the absolute iteration count
     already consumed, i.e. ``prev_schedule.total_steps`` accumulated).
+
+    ``batch_shape`` selects the *vectorized* kernel path: the state carries a
+    chain batch, each step uses ``sampler.step_batched`` with one key per
+    step (not per chain), and the emitted samples are transposed to the
+    ``(chains, n_samples, ...)`` layout of the vmapped path.
+    ``state_sharding`` (a NamedSharding) is constrained onto the state after
+    init so XLA partitions the whole program over the chain axis.
     """
     model = as_model(model)
     OFF = iteration_offset
@@ -107,8 +117,15 @@ def build_chain_fn(
         schedule.n_samples,
     )
     has_warmup = sampler.has_warmup_phase
+    vector = batch_shape is not None
 
     def step_fn(warmup: bool):
+        if vector:
+            if warmup and has_warmup:
+                return lambda k, s, m: sampler.step_warmup_batched(
+                    k, s, m, batch_shape
+                )
+            return lambda k, s, m: sampler.step_batched(k, s, m, batch_shape)
         return sampler.step_warmup if (warmup and has_warmup) else sampler.step
 
     def run_span(state, chain_key, j0: int, n: int, warmup: bool):
@@ -152,10 +169,28 @@ def build_chain_fn(
     def chain_fn(chain_key, arg=None):
         if from_state:
             state = arg
+        elif vector:
+            init_keys = jax.random.split(
+                jax.random.fold_in(chain_key, 0), batch_shape[0]
+            )
+            if arg is None:
+                _, state = jax.vmap(lambda k: sampler.init(k, model, None))(
+                    init_keys
+                )
+            elif init_batched:
+                _, state = jax.vmap(lambda k, p: sampler.init(k, model, p))(
+                    init_keys, arg
+                )
+            else:
+                _, state = jax.vmap(lambda k: sampler.init(k, model, arg))(
+                    init_keys
+                )
         else:
             _, state = sampler.init(
                 jax.random.fold_in(chain_key, 0), model, arg
             )
+        if state_sharding is not None:
+            state = jax.lax.with_sharding_constraint(state, state_sharding)
 
         # Sample 1: the state after `discard_initial` steps (init if D == 0).
         bw = min(W, D)
@@ -195,6 +230,12 @@ def build_chain_fn(
                 lambda *xs: jnp.concatenate(xs, axis=0), *parts
             )
         )
+        if vector:
+            # (n_samples, chains, ...) → (chains, n_samples, ...): match the
+            # vmapped-path layout downstream bundling expects.
+            samples = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x, 0, 1), samples
+            )
         return samples, state
 
     return chain_fn
@@ -257,6 +298,7 @@ def sample(
     collect_states: bool = False,
     chain_type: Optional[str] = None,
     param_names=None,
+    vectorized: Optional[bool] = None,
     progress: bool = False,  # accepted for API parity; progress is reported
     # at chunk granularity by runtime/chunked.py, not per-step
 ):
@@ -282,16 +324,59 @@ def sample(
     )
     master = as_key(key)
     from_state = initial_state is not None
-    chain_fn = build_chain_fn(
-        sampler, model, schedule, collect_states,
-        from_state=from_state, iteration_offset=iteration_offset,
-    )
     method, mesh, axis = _resolve_chain_method(chain_method)
+
+    # Vectorized (chain-batched kernel) path: default whenever the sampler
+    # provides step_batched and chains are batched. The sequential method and
+    # explicit vectorized=False fall back to vmap-of-single-chain kernels
+    # (bit-compatible with MCMCSerial, ≙ one-chain-per-worker semantics).
+    use_vec = (
+        vectorized
+        if vectorized is not None
+        else (
+            num_chains is not None
+            and sampler.has_batched_kernel
+            and method in ("vmap", "shard_map")
+        )
+    )
+
     if from_state:
         # Resume: the state is already (per-chain) batched; thread it through
         # the same batched paths as batched initial params.
         initial_params = initial_state
         initial_params_batched = True
+
+    if use_vec:
+        state_sharding = None
+        if method == "shard_map":
+            from ..parallel.mesh import chain_sharding, make_mesh
+
+            m = mesh if mesh is not None else make_mesh(axis=axis)
+            if num_chains % m.shape[axis] != 0:
+                raise ValueError(
+                    f"num_chains={num_chains} must be divisible by mesh size "
+                    f"{m.shape[axis]}"
+                )
+            state_sharding = chain_sharding(m, axis)
+        chain_fn = build_chain_fn(
+            sampler, model, schedule, collect_states,
+            from_state=from_state, iteration_offset=iteration_offset,
+            batch_shape=(num_chains,), init_batched=initial_params_batched,
+            state_sharding=state_sharding,
+        )
+        if initial_params is None:
+            out, final_state = jax.jit(lambda k: chain_fn(k))(master)
+        else:
+            out, final_state = jax.jit(chain_fn)(master, initial_params)
+        return _finish(
+            out, final_state, schedule, num_chains, collect_states, sampler,
+            chain_type, param_names,
+        )
+
+    chain_fn = build_chain_fn(
+        sampler, model, schedule, collect_states,
+        from_state=from_state, iteration_offset=iteration_offset,
+    )
 
     if num_chains is None:
         fn = jax.jit(chain_fn) if initial_params is not None else jax.jit(
@@ -345,6 +430,16 @@ def sample(
         else:  # pragma: no cover
             raise ValueError(method)
 
+    return _finish(
+        out, final_state, schedule, num_chains, collect_states, sampler,
+        chain_type, param_names,
+    )
+
+
+def _finish(
+    out, final_state, schedule, num_chains, collect_states, sampler,
+    chain_type, param_names,
+):
     if collect_states:
         transitions, states = out
     else:

@@ -89,6 +89,16 @@ class Sampler:
         compile a single step body for warmup-free samplers."""
         return type(self).step_warmup is not Sampler.step_warmup
 
+    @property
+    def has_batched_kernel(self) -> bool:
+        """True when the sampler provides ``step_batched`` (the vectorized
+        chain-batched hot path with O(1) per-step key hashing)."""
+        return hasattr(self, "step_batched")
+
+    def step_warmup_batched(self, key: KeyArray, state, model, batch_shape):
+        """Batched warmup step; defaults to ``step_batched``."""
+        return self.step_batched(key, state, model, batch_shape)  # type: ignore[attr-defined]
+
 
 # --- AbstractMCMC params-interface equivalents (src/AdvancedMH.jl:146-157) ---
 

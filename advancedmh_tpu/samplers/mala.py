@@ -88,3 +88,48 @@ class MALA(Sampler):
         gradient = select_tree(accepted, grad_candidate, state.gradient)
         t = GradientTransition(params, lp, gradient, accepted)
         return t, t
+
+    def step_batched(
+        self, key: KeyArray, state: GradientTransition, model,
+        batch_shape: Tuple[int, ...],
+    ) -> Tuple[GradientTransition, GradientTransition]:
+        """Vectorized MALA step (batched RNG; gradients via a single vmapped
+        value-and-gradient pass over the chain batch)."""
+        model = as_model(model)
+        key_prop, key_acc = jax.random.split(key)
+        bn = len(batch_shape)
+
+        prop_state = _resolve_tree(self.proposal, state.gradient)
+        # Functional leaves resolve against the *batched gradient* — their
+        # payload params then carry the batch, so propose() draws un-shaped.
+        candidate = propose(
+            key_prop, self.proposal, state.params, batch_shape,
+            conditioner=state.gradient,
+        )
+
+        if model.logdensity_and_gradient_fn is not None:
+            lp_candidate, grad_candidate = jax.vmap(
+                model.logdensity_and_gradient_fn
+            )(candidate)
+        else:
+            lp_candidate, grad_candidate = jax.vmap(
+                jax.value_and_grad(model.logdensity_fn)
+            )(candidate)
+
+        prop_candidate = _resolve_tree(self.proposal, grad_candidate)
+        logratio = q(prop_candidate, state.params, candidate, batch_ndim=bn) - q(
+            prop_state, candidate, state.params, batch_ndim=bn
+        )
+
+        logalpha = lp_candidate - state.lp + logratio
+        accepted = -jax.random.exponential(key_acc, batch_shape) < logalpha
+
+        def sel(c, p):
+            mask = accepted.reshape(batch_shape + (1,) * (c.ndim - bn))
+            return jnp.where(mask, c, p)
+
+        params = jax.tree_util.tree_map(sel, candidate, state.params)
+        lp = jnp.where(accepted, lp_candidate, state.lp)
+        gradient = jax.tree_util.tree_map(sel, grad_candidate, state.gradient)
+        t = GradientTransition(params, lp, gradient, accepted)
+        return t, t

@@ -21,8 +21,8 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.density import as_model, logdensity
-from ..ops.cholesky import chol_rank1_update
+from ..models.density import as_model, logdensity, logdensity_batched
+from ..ops.cholesky import chol_rank1_update, chol_rank1_update_batched
 from ..utils import KeyArray, pytree_dataclass
 from .base import Sampler, Transition
 
@@ -179,3 +179,77 @@ class RobustAdaptiveMetropolis(Sampler):
             isaccept=isaccept,
         )
         return self.transition_of(state_new), state_new
+
+    # -- vectorized kernels (chain-batched state, batched RNG) -------------
+
+    def _step_inner_batched(self, key, state, model, batch_shape):
+        key_u, key_acc = jax.random.split(key)
+        x = state.x  # (C, d)
+        U = jax.random.normal(key_u, x.shape, x.dtype)
+        # Batched triangular matvec — one MXU-friendly bmm over the chains.
+        x_new = jnp.einsum("...ij,...j->...i", state.S, U) + x
+        lp_new = logdensity_batched(model, x_new)
+        logalpha = jnp.minimum(lp_new - state.logprob, 0.0)
+        isaccept = jax.random.exponential(key_acc, batch_shape) > -logalpha
+        return x_new, lp_new, U, logalpha, isaccept
+
+    def step_batched(
+        self, key: KeyArray, state: RobustAdaptiveMetropolisState, model,
+        batch_shape: Tuple[int, ...],
+    ) -> Tuple[Transition, RobustAdaptiveMetropolisState]:
+        model = as_model(model)
+        x_new, lp_new, _U, logalpha, isaccept = self._step_inner_batched(
+            key, state, model, batch_shape
+        )
+        acc = isaccept[..., None]
+        state_new = RobustAdaptiveMetropolisState(
+            x=jnp.where(acc, x_new, state.x),
+            logprob=jnp.where(isaccept, lp_new, state.logprob),
+            S=state.S,
+            logalpha=logalpha,
+            eta=state.eta,
+            iteration=state.iteration + 1,
+            isaccept=isaccept,
+        )
+        return self.transition_of(state_new), state_new
+
+    def step_warmup_batched(
+        self, key: KeyArray, state: RobustAdaptiveMetropolisState, model,
+        batch_shape: Tuple[int, ...],
+    ) -> Tuple[Transition, RobustAdaptiveMetropolisState]:
+        model = as_model(model)
+        x_new, lp_new, U, logalpha, isaccept = self._step_inner_batched(
+            key, state, model, batch_shape
+        )
+        # Per-chain adaptation (each chain adapts its own S).
+        dalpha = jnp.exp(logalpha) - self.alpha  # (C,)
+        S = state.S
+        eta = jnp.power(state.iteration.astype(S.dtype), -self.gamma)
+        scale = jnp.sqrt(eta * jnp.abs(dalpha)) / jnp.linalg.norm(U, axis=-1)
+        dS = scale[..., None] * jnp.einsum("...ij,...j->...i", S, U)
+        S_new, ok = chol_rank1_update_batched(S, dS, jnp.sign(dalpha))
+        valid = ok & self._valid_eigenvalues_batched(S_new)
+        S_final = jnp.where(valid[..., None, None], S_new, S)
+        acc = isaccept[..., None]
+        state_new = RobustAdaptiveMetropolisState(
+            x=jnp.where(acc, x_new, state.x),
+            logprob=jnp.where(isaccept, lp_new, state.logprob),
+            S=S_final,
+            logalpha=logalpha,
+            eta=eta,
+            iteration=state.iteration + 1,
+            isaccept=isaccept,
+        )
+        return self.transition_of(state_new), state_new
+
+    def _valid_eigenvalues_batched(self, S) -> jax.Array:
+        if self.eigenvalue_lower_bound == 0.0 and math.isinf(
+            self.eigenvalue_upper_bound
+        ):
+            return jnp.ones(S.shape[:-2], dtype=bool)
+        diag = jnp.diagonal(S, axis1=-2, axis2=-1)
+        return jnp.all(
+            (diag >= self.eigenvalue_lower_bound)
+            & (diag <= self.eigenvalue_upper_bound),
+            axis=-1,
+        )

@@ -28,38 +28,38 @@ def main():
     from __graft_entry__ import _readme_model
 
     n_chains = 16384
-    n_steps = 2000
+    n_steps = 10_000
 
     model = _readme_model()
     spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
 
-    def one(k, p, l):
-        _, s = spl.step(k, Transition(p, l, jnp.zeros((), bool)), model)
-        return s.params, s.lp
-
     from functools import partial
 
-    @partial(jax.jit, static_argnums=3)
-    def run(chain_keys, params, lp, n):
-        def body(carry, j):
-            params, lp = carry
-            keys = jax.vmap(lambda ck: jax.random.fold_in(ck, j))(chain_keys)
-            params, lp = jax.vmap(one)(keys, params, lp)
-            return (params, lp), None
+    master = jax.random.key(0)
 
-        (params, lp), _ = jax.lax.scan(body, (params, lp), jnp.arange(n))
-        return params, lp
+    @partial(jax.jit, static_argnums=2)
+    def run(params, lp, n):
+        state = Transition(params, lp, jnp.zeros((n_chains,), bool))
 
-    chain_keys = jax.random.split(jax.random.key(0), n_chains)
+        def body(state, j):
+            _, s = spl.step_batched(
+                jax.random.fold_in(master, j), state, model, (n_chains,)
+            )
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(n))
+        return state.params, state.lp
+
     params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (n_chains, 1))
     lp = jax.vmap(model.logdensity_fn)(params)
 
-    # compile + warmup
-    out = run(chain_keys, params, lp, 100)
+    # compile + warmup with the SAME static step count that is timed (a
+    # different n would recompile inside the timed region)
+    out = run(params, lp, n_steps)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    out = run(chain_keys, params, lp, n_steps)
+    out = run(params, lp, n_steps)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

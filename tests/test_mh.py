@@ -112,7 +112,10 @@ class TestParallel:
     def test_serial_matches_vmap(self):
         spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
         kw = dict(key=5, num_chains=2, discard_initial=0)
-        r_vmap = sample(MODEL, spl, 50, **kw)
+        # vectorized=False: the per-chain-kernel path is bit-compatible with
+        # MCMCSerial (the vectorized path uses batched RNG, equal only in
+        # distribution).
+        r_vmap = sample(MODEL, spl, 50, vectorized=False, **kw)
         r_seq = sample(MODEL, spl, 50, chain_method=MCMCSerial(), **kw)
         np.testing.assert_allclose(
             np.asarray(r_vmap.transitions.lp),
