@@ -59,11 +59,14 @@ from .samplers import (
 )
 from .runtime import (
     sample,
+    sample_chunked,
     Schedule,
     SamplingResult,
     MCMCSerial,
     MCMCThreads,
     MCMCDistributed,
+    save_state,
+    load_state,
 )
 from .output import Chains, StructArray
 from .diagnostics import ess, rhat, mcse
@@ -88,8 +91,9 @@ __all__ = [
     "Ensemble", "StretchProposal", "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
-    "sample", "Schedule", "SamplingResult",
+    "sample", "sample_chunked", "Schedule", "SamplingResult",
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
+    "save_state", "load_state",
     # output / diagnostics
     "Chains", "StructArray", "ess", "rhat", "mcse",
     # parallel

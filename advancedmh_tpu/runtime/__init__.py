@@ -8,6 +8,7 @@ from .sample import (
     MCMCDistributed,
 )
 from .checkpoint import save_state, load_state
+from .chunked import sample_chunked
 
 __all__ = [
     "Schedule",
@@ -19,4 +20,5 @@ __all__ = [
     "MCMCDistributed",
     "save_state",
     "load_state",
+    "sample_chunked",
 ]

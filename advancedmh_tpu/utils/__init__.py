@@ -1,5 +1,6 @@
 from .pytree import pytree_dataclass, static_field, replace
 from .keys import as_key, split_like, key_iter, KeyArray
+from .profiling import trace, Timer, throughput
 
 __all__ = [
     "pytree_dataclass",
@@ -9,4 +10,7 @@ __all__ = [
     "split_like",
     "key_iter",
     "KeyArray",
+    "trace",
+    "Timer",
+    "throughput",
 ]
