@@ -3,9 +3,15 @@ from .density import (
     CapabilityOrder,
     as_model,
     logdensity,
+    logdensity_batched,
     logdensity_and_gradient,
     check_capabilities,
     guarded_logdensity,
+)
+from .targets import (
+    gaussian_mean_scale_model,
+    correlated_gaussian_model,
+    emcee_demo_model,
 )
 
 __all__ = [
@@ -13,7 +19,11 @@ __all__ = [
     "CapabilityOrder",
     "as_model",
     "logdensity",
+    "logdensity_batched",
     "logdensity_and_gradient",
     "check_capabilities",
     "guarded_logdensity",
+    "gaussian_mean_scale_model",
+    "correlated_gaussian_model",
+    "emcee_demo_model",
 ]

@@ -1,0 +1,114 @@
+"""Prebuilt example target models (the reference's test/README models).
+
+These serve as fixtures for tests/benchmarks and as user-facing examples.
+Each returns a :class:`DensityModel`; models that are Pallas-expressible also
+carry a transposed tile density for the fused kernel (ops/pallas_mh.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..distributions import InverseGamma, MvNormal, Normal
+from .density import DensityModel, guarded_logdensity
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def gaussian_mean_scale_model(
+    data: Optional[np.ndarray] = None, n_obs: int = 30, seed: int = 1234
+) -> DensityModel:
+    """The reference README/test flagship: θ = (μ, σ) posterior of a Normal
+    with a σ ≥ 0 support guard (reference README.md:23-40 and
+    test/runtests.jl:22-31)."""
+    if data is None:
+        data = np.random.default_rng(seed).normal(size=n_obs)
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+
+    def density(theta):
+        return jnp.sum(Normal(theta[0], theta[1]).log_prob(data))
+
+    ld = guarded_logdensity(
+        support_fn=lambda t: t[1] >= 0,
+        logdensity_fn=density,
+        safe_params_fn=lambda t: jnp.stack([t[0], jnp.maximum(t[1], 0.1)]),
+    )
+
+    def tile_density(p, obs):
+        """Transposed tile form for the fused Pallas kernel: p (2, TC).
+
+        One reciprocal per chain instead of n_obs divides per chain — VPU
+        divides dominate this density, multiplies are cheap.
+        """
+        mu, sigma = p[0:1], p[1:2]
+        inv = 1.0 / jnp.maximum(sigma, 0.1)
+        z = (obs - mu) * inv
+        lp = (
+            jnp.sum(-0.5 * z * z, axis=0, keepdims=True)
+            + n * jnp.log(inv)
+            - n * _HALF_LOG_2PI
+        )
+        return jnp.where(sigma >= 0, lp, -jnp.inf)
+
+    model = DensityModel(ld, dimension=2)
+    # attach Pallas extras without widening the core dataclass
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(model, "tile_consts", (np.asarray(data).reshape(-1, 1),))
+    return model
+
+
+def correlated_gaussian_model(cov) -> DensityModel:
+    """Zero-mean multivariate Gaussian target (≙ the RAM doctest Gaussian and
+    the MALA issue-#95 quadratic density)."""
+    cov = jnp.asarray(cov, jnp.float32)
+    mv = MvNormal.from_cov(jnp.zeros(cov.shape[0], jnp.float32), cov)
+    prec = jnp.linalg.inv(cov)
+
+    def ldg(x):
+        g = -(prec @ x)
+        return mv.log_prob(x), g
+
+    return DensityModel(
+        mv.log_prob, logdensity_and_gradient_fn=ldg, dimension=cov.shape[0]
+    )
+
+
+def emcee_demo_model(transformed: bool = False) -> DensityModel:
+    """The reference emcee test model (test/emcee.jl): s ~ InverseGamma(2,3),
+    m ~ N(0, √s), observations 1.5 and 2.0 from N(m, √s). Analytic posterior
+    means s̄ = 49/24, m̄ = 7/6. ``transformed=True`` uses (log s, m) with the
+    Jacobian correction."""
+
+    if transformed:
+
+        def logprob(theta):
+            logs, m = theta[0], theta[1]
+            s = jnp.exp(logs)
+            sqrts = jnp.sqrt(s)
+            return (
+                InverseGamma(2.0, 3.0).log_prob(s)
+                + Normal(0.0, sqrts).log_prob(m)
+                + Normal(m, sqrts).log_prob(1.5)
+                + Normal(m, sqrts).log_prob(2.0)
+                + logs
+            )
+
+        return DensityModel(logprob, dimension=2)
+
+    def logprob(theta):
+        s, m = theta[0], theta[1]
+        safe_s = jnp.maximum(s, 1e-6)
+        sqrts = jnp.sqrt(safe_s)
+        lp = (
+            InverseGamma(2.0, 3.0).log_prob(safe_s)
+            + Normal(0.0, sqrts).log_prob(m)
+            + Normal(m, sqrts).log_prob(1.5)
+            + Normal(m, sqrts).log_prob(2.0)
+        )
+        return jnp.where(s > 0, lp, -jnp.inf)
+
+    return DensityModel(logprob, dimension=2)

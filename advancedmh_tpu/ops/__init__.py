@@ -1,3 +1,9 @@
 from .cholesky import chol_rank1_update, chol_rank1_update_batched
+from .pallas_mh import fused_rwmh, tile_fn_from_batched
 
-__all__ = ["chol_rank1_update", "chol_rank1_update_batched"]
+__all__ = [
+    "chol_rank1_update",
+    "chol_rank1_update_batched",
+    "fused_rwmh",
+    "tile_fn_from_batched",
+]

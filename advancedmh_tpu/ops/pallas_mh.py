@@ -1,0 +1,187 @@
+"""Fused multi-step random-walk Metropolis kernel (Pallas/TPU).
+
+The XLA path (samplers/mh.py step_batched under lax.scan) is already ~1000×
+the reference's sequential throughput, but each step is a chain of separate
+HBM-roundtripping ops (threefry bits → normal → density → select). This
+kernel runs the *entire propose→logdensity→accept loop in VMEM*: chain state
+never leaves on-chip memory between steps, random bits come from the per-core
+hardware PRNG (`pltpu.prng_random_bits`), and N steps execute in one kernel
+launch.
+
+Layout: chains live on the **lane** axis — params are stored transposed as
+``(d, C)`` so the d≪128 parameter axis sits on sublanes and the chain batch
+fills the 128-wide lanes (SURVEY.md §7 'speed-of-light' requirement; cf.
+pallas_guide.md tiling constraints).
+
+Scope: symmetric Gaussian random-walk proposals (isotropic or per-dim scale)
+— the reference's flagship ``RWMH(MvNormal(Zeros(d), I))`` family — against a
+model that provides a *tile* log-density ``f((d, TC)) -> (1, TC)`` built from
+jnp ops (any elementwise/broadcast/reduce density works; supply it via
+``DensityModel(logdensity_tile_fn=...)`` or let ``tile_fn_from_batched``
+adapt a chain-batched density).
+
+RNG note: uses the TPU hardware PRNG (per-tile seeded), not threefry — the
+stream differs from the XLA path; equality with the reference is in
+distribution either way (SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform_from_bits(bits: jax.Array) -> jax.Array:
+    """random bits → float32 uniform in (0, 1).
+
+    ``prng_random_bits`` yields (possibly signed) 32-bit words; masking the
+    low 23 bits is sign-safe in int32 and feeds the full float32 mantissa.
+    """
+    return (bits & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+        2**-23
+    ) + jnp.float32(2**-24)
+
+
+def _normal_pair(shape) -> Tuple[jax.Array, jax.Array]:
+    """Box-Muller from two uniform draws of the hardware PRNG."""
+    u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _rwmh_kernel(
+    seed_ref,  # (1, 1) int32 in SMEM
+    scale_ref,  # (d, 1) f32 — per-dim proposal std-dev
+    *rest,
+    logdensity_tile_fn: Callable,
+    n_consts: int,
+    n_steps: int,
+):
+    const_refs = rest[:n_consts]
+    params_ref, lp_ref, out_params_ref, out_lp_ref, accepts_ref = rest[n_consts:]
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    d, tc = params_ref.shape
+    scale_col = scale_ref[:]  # (d, 1)
+    consts = tuple(c[:] for c in const_refs)
+
+    def one_step(params, lp, acc, z):
+        candidate = params + scale_col * z
+        lp_cand = logdensity_tile_fn(candidate, *consts)  # (1, TC)
+        # accept iff log(U) < logα  ⟺  -randexp < logα (symmetric proposal)
+        u = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
+        accept = jnp.log(u) < lp_cand - lp  # (1, TC)
+        params = jnp.where(accept, candidate, params)
+        lp = jnp.where(accept, lp_cand, lp)
+        return params, lp, acc + accept.astype(jnp.float32)
+
+    def body(_, carry):
+        params, lp, acc = carry
+        # Box-Muller yields two independent normals per bits-pair — run two
+        # MH steps per iteration so neither half is wasted.
+        z1, z2 = _normal_pair((d, tc))
+        params, lp, acc = one_step(params, lp, acc, z1)
+        params, lp, acc = one_step(params, lp, acc, z2)
+        return params, lp, acc
+
+    assert n_steps % 2 == 0, "n_steps must be even (two MH steps per iteration)"
+    params, lp, acc = jax.lax.fori_loop(
+        0,
+        n_steps // 2,
+        body,
+        (params_ref[:], lp_ref[:], jnp.zeros((1, tc), jnp.float32)),
+    )
+    out_params_ref[:] = params
+    out_lp_ref[:] = lp
+    accepts_ref[:] = acc
+
+
+def fused_rwmh(
+    logdensity_tile_fn: Callable,
+    d: int,
+    scale,
+    n_steps: int,
+    *,
+    consts: Tuple[jax.Array, ...] = (),
+    tile_chains: int = 2048,
+    interpret: bool = False,
+):
+    """Build the fused kernel: ``fn(params_T (d, C), lp (1, C), seed) ->
+    (params_T, lp, accept_counts)`` running ``n_steps`` in one launch.
+
+    ``scale`` is a scalar or length-d per-dimension proposal std-dev.
+    ``consts`` are model constant arrays (e.g. observed data, ≥2-D each);
+    they are broadcast to every tile and passed to ``logdensity_tile_fn``
+    after the candidate params (Pallas kernels cannot close over arrays).
+    ``C`` must be a multiple of ``tile_chains`` (pick a multiple of 128).
+    """
+    scale_arr = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(-1, 1), (d, 1)
+    ) * jnp.ones((d, 1), jnp.float32)
+    consts = tuple(
+        jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
+        jnp.asarray(c, jnp.float32)
+        for c in consts
+    )
+    kernel = functools.partial(
+        _rwmh_kernel,
+        logdensity_tile_fn=logdensity_tile_fn,
+        n_consts=len(consts),
+        n_steps=n_steps,
+    )
+
+    @jax.jit
+    def run(params_t: jax.Array, lp: jax.Array, seed) -> Tuple[jax.Array, ...]:
+        c = params_t.shape[1]
+        if c % tile_chains != 0:
+            raise ValueError(
+                f"chains={c} must be a multiple of tile_chains={tile_chains}"
+            )
+        grid = (c // tile_chains,)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        whole = lambda arr: pl.BlockSpec(
+            arr.shape, lambda i: tuple(0 for _ in arr.shape),
+            memory_space=pltpu.VMEM,
+        )
+        tiled = lambda rows: pl.BlockSpec(
+            (rows, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                whole(scale_arr),
+                *[whole(cst) for cst in consts],
+                tiled(d),
+                tiled(1),
+            ],
+            out_specs=[tiled(d), tiled(1), tiled(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((d, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed_arr, scale_arr, *consts, params_t, lp)
+
+    return run
+
+
+def tile_fn_from_batched(logdensity_batched_fn: Callable) -> Callable:
+    """Adapt a chain-batched density ``(C, d) -> (C,)`` to the kernel's
+    transposed tile layout ``(d, TC) -> (1, TC)``. The function must consist
+    of Pallas-supported jnp ops."""
+
+    def tile_fn(params_t):
+        return logdensity_batched_fn(params_t.T)[None, :]
+
+    return tile_fn

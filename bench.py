@@ -1,8 +1,11 @@
 """Benchmark: RWMH chain-steps/s on the reference README flagship model.
 
-Runs the fused scan-of-steps RWMH kernel over a large chain batch on the
-available accelerator (one TPU chip under the driver) and prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+Primary engine: the fused Pallas VMEM-resident kernel (ops/pallas_mh.py) —
+the whole propose→logdensity→accept loop for all chains runs on-chip with the
+hardware PRNG, N steps per launch. Falls back to the XLA vectorized path
+(samplers/mh.py step_batched under lax.scan) if Pallas is unavailable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md —
 "published": {}). The baseline used here is 1e6 chain-steps/s, a documented
@@ -15,61 +18,83 @@ processes one chip replaces.
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_SEQ_THROUGHPUT = 1.0e6  # chain-steps/s, documented estimate (see above)
+REFERENCE_SEQ_THROUGHPUT = 1.0e6  # chain-steps/s, documented estimate (above)
+N_CHAINS = 16384
+N_STEPS = 10_000
 
 
-def main():
+def bench_pallas(model):
+    from advancedmh_tpu.ops import fused_rwmh
+
+    run = fused_rwmh(
+        model.tile_density, d=2, scale=0.1, n_steps=N_STEPS,
+        consts=model.tile_consts,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
+    jax.block_until_ready(run(params, lp0, 0))  # compile + warmup
+    t0 = time.perf_counter()
+    out = run(params, lp0, 1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # sanity: sampler must actually be accepting/rejecting
+    acc_rate = float(out[2].mean()) / N_STEPS
+    assert 0.05 < acc_rate < 0.95, f"degenerate acceptance rate {acc_rate}"
+    return N_CHAINS * N_STEPS / dt, "pallas-fused"
+
+
+def bench_xla(model):
     from advancedmh_tpu import MvNormal, RWMH, Transition
-    from __graft_entry__ import _readme_model
 
-    n_chains = 16384
-    n_steps = 10_000
-
-    model = _readme_model()
     spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
-
-    from functools import partial
-
     master = jax.random.key(0)
 
     @partial(jax.jit, static_argnums=2)
     def run(params, lp, n):
-        state = Transition(params, lp, jnp.zeros((n_chains,), bool))
+        state = Transition(params, lp, jnp.zeros((N_CHAINS,), bool))
 
         def body(state, j):
             _, s = spl.step_batched(
-                jax.random.fold_in(master, j), state, model, (n_chains,)
+                jax.random.fold_in(master, j), state, model, (N_CHAINS,)
             )
             return s, None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(n))
         return state.params, state.lp
 
-    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (n_chains, 1))
+    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (N_CHAINS, 1))
     lp = jax.vmap(model.logdensity_fn)(params)
-
-    # compile + warmup with the SAME static step count that is timed (a
-    # different n would recompile inside the timed region)
-    out = run(params, lp, n_steps)
-    jax.block_until_ready(out)
-
+    jax.block_until_ready(run(params, lp, N_STEPS))  # compile (same static n)
     t0 = time.perf_counter()
-    out = run(params, lp, n_steps)
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(params, lp, N_STEPS))
     dt = time.perf_counter() - t0
+    return N_CHAINS * N_STEPS / dt, "xla-scan"
 
-    throughput = n_chains * n_steps / dt
+
+def main():
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    try:
+        throughput, engine = bench_pallas(model)
+    except Exception as e:  # Pallas unavailable (CPU) or compile failure
+        print(f"pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to XLA", file=sys.stderr)
+        throughput, engine = bench_xla(model)
+
     print(
         json.dumps(
             {
                 "metric": "rwmh_chain_steps_per_s",
                 "value": throughput,
-                "unit": "chain-steps/s (16384 chains, README 2-param Gaussian model)",
+                "unit": f"chain-steps/s ({N_CHAINS} chains, README 2-param "
+                        f"Gaussian model, engine={engine})",
                 "vs_baseline": throughput / REFERENCE_SEQ_THROUGHPUT,
             }
         )

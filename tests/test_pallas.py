@@ -1,0 +1,63 @@
+"""Fused Pallas RWMH kernel tests — TPU only.
+
+The hardware-PRNG primitives (`pltpu.prng_*`) have no CPU lowering, so these
+tests run only when a TPU backend is present (the CI suite runs on the
+virtual CPU mesh and skips them; the driver's bench exercises the kernel on
+the real chip every round).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="Pallas TPU PRNG has no CPU lowering",
+)
+
+
+@requires_tpu
+class TestFusedRWMH:
+    def test_posterior_matches_xla_path(self):
+        from advancedmh_tpu import MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+        from advancedmh_tpu.ops import fused_rwmh
+
+        model = gaussian_mean_scale_model()
+        C, n = 4096, 4000
+
+        run = fused_rwmh(
+            model.tile_density, d=2, scale=0.1, n_steps=n,
+            consts=model.tile_consts, tile_chains=1024,
+        )
+        params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+        lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
+        p, lp, acc = run(params, lp0, 7)
+
+        res = sample(
+            model, RWMH(MvNormal(jnp.zeros(2), scale=0.1)), 1000, key=7,
+            num_chains=512, discard_initial=3000,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+
+        # same posterior moments from both engines
+        assert abs(float(p[0].mean()) - draws[:, 0].mean()) < 0.05
+        assert abs(float(p[1].mean()) - draws[:, 1].mean()) < 0.05
+        # acceptance rates agree
+        xla_acc = np.asarray(res.transitions.accepted).mean()
+        assert abs(float(acc.mean()) / n - xla_acc) < 0.1
+
+    def test_deterministic_given_seed(self):
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+        from advancedmh_tpu.ops import fused_rwmh
+
+        model = gaussian_mean_scale_model()
+        run = fused_rwmh(
+            model.tile_density, d=2, scale=0.1, n_steps=100,
+            consts=model.tile_consts, tile_chains=256,
+        )
+        params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, 256))
+        lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
+        p1, l1, a1 = run(params, lp0, 3)
+        p2, l2, a2 = run(params, lp0, 3)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
