@@ -68,7 +68,7 @@ from .runtime import (
     save_state,
     load_state,
 )
-from .output import Chains, StructArray
+from .output import Chains, StructArray, chainscat
 from .diagnostics import ess, rhat, mcse
 from .parallel import make_mesh, chain_sharding
 
@@ -95,7 +95,7 @@ __all__ = [
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics
-    "Chains", "StructArray", "ess", "rhat", "mcse",
+    "Chains", "StructArray", "chainscat", "ess", "rhat", "mcse",
     # parallel
     "make_mesh", "chain_sharding",
 ]

@@ -4,6 +4,7 @@ from .bundle import (
     bundle_chains,
     bundle_structarray,
     bundle_namedtuples,
+    chainscat,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "bundle_chains",
     "bundle_structarray",
     "bundle_namedtuples",
+    "chainscat",
 ]

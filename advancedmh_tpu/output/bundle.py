@@ -97,6 +97,18 @@ def bundle_structarray(
     return out
 
 
+def chainscat(*bundles):
+    """≙ ``AbstractMCMC.chainscat``: concatenate chains along the chain axis
+    (Chains) or draws (StructArray, ≙ vcat at
+    ext/AdvancedMHStructArraysExt.jl:27)."""
+    first = bundles[0]
+    if isinstance(first, Chains):
+        return Chains.cat(*bundles)
+    if isinstance(first, StructArray):
+        return StructArray.cat(*bundles)
+    raise TypeError(f"chainscat: unsupported bundle type {type(first).__name__}")
+
+
 def bundle_namedtuples(
     result, param_names: Optional[Sequence[str]] = None
 ) -> List[Dict[str, float]]:

@@ -20,7 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# ADVMH_TEST_TPU=1 runs against the real accelerator (used for the TPU-gated
+# Pallas kernel tests); default is the 8-device virtual CPU mesh.
+if os.environ.get("ADVMH_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
