@@ -13,8 +13,22 @@ from .univariate import (
     Beta,
 )
 from .multivariate import MvNormal
+from .discrete import (
+    Bernoulli,
+    Poisson,
+    Binomial,
+    Geometric,
+    Categorical,
+    DiscreteUniform,
+)
 
 __all__ = [
+    "Bernoulli",
+    "Poisson",
+    "Binomial",
+    "Geometric",
+    "Categorical",
+    "DiscreteUniform",
     "Distribution",
     "Normal",
     "LogNormal",

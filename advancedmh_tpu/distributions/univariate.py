@@ -22,6 +22,7 @@ _LOG_2PI = math.log(2.0 * math.pi)
 
 
 def _bshape(*params):
+    """Broadcast shape of distribution parameters (batch shape)."""
     return jnp.broadcast_shapes(*(jnp.shape(p) for p in params))
 
 

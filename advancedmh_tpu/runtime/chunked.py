@@ -19,6 +19,8 @@ Chunk boundaries are invisible to the statistics: resume is bit-exact
 """
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 from typing import Any, Callable, Optional, Union
@@ -27,8 +29,22 @@ import jax
 import numpy as np
 
 from ..utils import KeyArray
+from .checkpoint import load_state, save_state
 from .sample import SamplingResult, sample
 from .schedule import Schedule
+
+
+def _save_tree(path: str, tree: Any) -> None:
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def _load_tree(path: str, like: Any) -> Any:
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    return jax.tree_util.tree_unflatten(
+        treedef, [data[f"leaf_{i}"] for i in range(len(leaves))]
+    )
 
 
 def sample_chunked(
@@ -48,6 +64,8 @@ def sample_chunked(
     callback: Optional[Callable[[SamplingResult, int], None]] = None,
     progress: bool = False,
     to_host: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     **kwargs,
 ) -> SamplingResult:
     """Like :func:`sample` but in chunks of ``chunk_size`` samples.
@@ -55,6 +73,14 @@ def sample_chunked(
     Returns a :class:`SamplingResult` whose transition leaves are host numpy
     arrays (``to_host=True``) concatenated over all chunks. ``callback`` runs
     after each chunk with (chunk_result, chunk_index).
+
+    **Elastic recovery** (SURVEY.md §5 'failure detection'): with
+    ``checkpoint_dir``, each completed chunk writes its transitions
+    (``chunk_NNNNN.npz``), the sampler state (``state.npz``), and progress
+    metadata (``meta.json``). After a crash, rerunning the identical call
+    with ``resume=True`` skips completed chunks (reloaded from disk) and
+    continues from the saved state — the result is bit-identical to an
+    uninterrupted run.
     """
     schedule = Schedule(
         n_samples=n_samples,
@@ -70,6 +96,41 @@ def sample_chunked(
     done = 0
     t0 = time.perf_counter()
     chunk_idx = 0
+    resumed_chunk_files = []
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        meta_path = os.path.join(checkpoint_dir, "meta.json")
+        if resume and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            done = meta["samples_done"]
+            offset = meta["iteration_offset"]
+            chunk_idx = meta["chunks_done"]
+            resumed_chunk_files = [
+                os.path.join(checkpoint_dir, f"chunk_{i:05d}.npz")
+                for i in range(chunk_idx)
+            ]
+            if meta.get("chunk_size") != chunk_size or meta.get(
+                "n_samples"
+            ) != n_samples:
+                raise ValueError(
+                    "resume=True requires the same n_samples/chunk_size as "
+                    f"the checkpointed run ({meta})."
+                )
+            template_result = None
+            if done > 0:
+                # Template run (structure only) to deserialize the state and
+                # the completed chunk files.
+                template_result = sample(
+                    model, sampler, 1, key=key, num_chains=num_chains,
+                    initial_params=initial_params,
+                    initial_params_batched=initial_params_batched,
+                    discard_initial=0, collect_states=collect_states, **kwargs,
+                )
+                state = load_state(
+                    os.path.join(checkpoint_dir, "state.npz"),
+                    template_result.final_state,
+                )
     while done < n_samples:
         n_chunk = min(chunk_size, n_samples - done)
         if state is None:
@@ -107,6 +168,30 @@ def sample_chunked(
             )
         chunks.append(host)
         done += n_chunk
+        if checkpoint_dir is not None:
+            _save_tree(
+                os.path.join(checkpoint_dir, f"chunk_{chunk_idx:05d}.npz"),
+                host.transitions,
+            )
+            if collect_states:
+                _save_tree(
+                    os.path.join(checkpoint_dir, f"states_{chunk_idx:05d}.npz"),
+                    host.states,
+                )
+            save_state(os.path.join(checkpoint_dir, "state.npz"), state)
+            tmp = os.path.join(checkpoint_dir, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "samples_done": done,
+                        "iteration_offset": offset,
+                        "chunks_done": chunk_idx + 1,
+                        "chunk_size": chunk_size,
+                        "n_samples": n_samples,
+                    },
+                    f,
+                )
+            os.replace(tmp, os.path.join(checkpoint_dir, "meta.json"))
         if callback is not None:
             callback(host, chunk_idx)
         if progress:
@@ -117,6 +202,27 @@ def sample_chunked(
                 file=sys.stderr,
             )
         chunk_idx += 1
+
+    if resumed_chunk_files:
+        tmpl_tr = (
+            chunks[0].transitions if chunks else template_result.transitions
+        )
+        old = [
+            SamplingResult(
+                transitions=_load_tree(p, tmpl_tr), final_state=None,
+                schedule=schedule, num_chains=num_chains, sampler=sampler,
+                states=(
+                    _load_tree(
+                        p.replace("chunk_", "states_"),
+                        chunks[0].states if chunks else template_result.states,
+                    )
+                    if collect_states
+                    else None
+                ),
+            )
+            for p in resumed_chunk_files
+        ]
+        chunks = old + chunks
 
     axis = 0 if num_chains is None else 1
     cat = np.concatenate if to_host else (

@@ -52,6 +52,36 @@ class TestChunked:
             np.asarray(full.states.S), chunked.states.S
         )
 
+    def test_elastic_recovery(self, tmp_path):
+        """Crash between chunks → resume=True reproduces the full run
+        bit-exactly from disk."""
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        kw = dict(key=9, num_chains=3, initial_params=jnp.asarray([0.0, 1.0]))
+        ckpt = str(tmp_path / "ckpt")
+
+        full = sample_chunked(MODEL, spl, 60, chunk_size=20, **kw)
+
+        # simulate a crash after 2 of 3 chunks: run with a callback that
+        # raises once chunk 1 completes
+        class Crash(Exception):
+            pass
+
+        def boom(res, i):
+            if i == 1:
+                raise Crash
+
+        try:
+            sample_chunked(MODEL, spl, 60, chunk_size=20,
+                           checkpoint_dir=ckpt, callback=boom, **kw)
+        except Crash:
+            pass
+
+        recovered = sample_chunked(MODEL, spl, 60, chunk_size=20,
+                                   checkpoint_dir=ckpt, resume=True, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full.transitions.lp), recovered.transitions.lp
+        )
+
     def test_callback_invoked_per_chunk(self):
         spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
         seen = []
