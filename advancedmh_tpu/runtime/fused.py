@@ -1,0 +1,124 @@
+"""Fused-engine dispatch: run `sample()` on the Pallas VMEM-resident kernel.
+
+Applicable when the sampler is a symmetric Gaussian random-walk
+``MetropolisHastings`` (the reference's flagship ``RWMH(MvNormal(...))``
+family) and the model carries a Pallas tile density (``model.tile_density``
++ ``model.tile_consts``, see models/targets.py, or a jnp-only
+``logdensity_batched_fn`` adapted via ``tile_fn_from_batched``).
+
+Contract note: the fused engine's sample k is the state after
+``burn + (k+1)*thinning`` steps with ``burn = max(discard_initial -
+thinning, 0)`` — identical to the standard schedule when ``discard_initial
+>= thinning`` (the init draw itself is never emitted). RNG comes from the
+TPU hardware PRNG seeded from the user key: equal to the XLA path in
+distribution, not bitstream.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..distributions import MvNormal, Normal
+from ..proposals import RandomWalkProposal, is_proposal
+from ..samplers.base import Transition
+from ..samplers.mh import MetropolisHastings
+from ..utils import KeyArray
+
+
+def _extract_rw_scale(sampler, d: int) -> np.ndarray:
+    """Return the per-dimension proposal std-dev, or raise if the sampler is
+    not a symmetric Gaussian random walk."""
+    if not isinstance(sampler, MetropolisHastings):
+        raise ValueError("engine='fused' supports MetropolisHastings only")
+    p = sampler.proposal
+    if not is_proposal(p) or not isinstance(p, RandomWalkProposal):
+        raise ValueError(
+            "engine='fused' requires a single RandomWalkProposal leaf"
+        )
+    payload = p.payload
+    if isinstance(payload, MvNormal):
+        if payload.scale_tril is not None:
+            raise ValueError(
+                "engine='fused' supports isotropic/diagonal MvNormal proposals"
+            )
+        if not np.allclose(np.asarray(payload.loc), 0.0):
+            raise ValueError("fused RW proposal must be zero-mean")
+        if payload.scale_diag is not None:
+            return np.broadcast_to(np.asarray(payload.scale_diag), (d,))
+        return np.broadcast_to(np.asarray(payload.scale), (d,))
+    if isinstance(payload, Normal):
+        if not np.allclose(np.asarray(payload.loc), 0.0):
+            raise ValueError("fused RW proposal must be zero-mean")
+        return np.broadcast_to(np.asarray(payload.scale), (d,))
+    raise ValueError(
+        f"engine='fused' does not support payload {type(payload).__name__}"
+    )
+
+
+def _tile_density_of(model):
+    tile = getattr(model, "tile_density", None)
+    consts = getattr(model, "tile_consts", ())
+    if tile is not None:
+        return tile, tuple(consts)
+    if model.logdensity_batched_fn is not None:
+        from ..ops.pallas_mh import tile_fn_from_batched
+
+        return tile_fn_from_batched(model.logdensity_batched_fn), ()
+    raise ValueError(
+        "engine='fused' needs a Pallas-traceable density: attach "
+        "model.tile_density (+ tile_consts) or provide "
+        "logdensity_batched_fn built from jnp ops."
+    )
+
+
+def sample_fused(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 2048,
+):
+    """Run the fused Pallas sampling engine; returns the raw pieces in the
+    standard (chains, samples, ...) layout."""
+    from ..ops.pallas_mh import fused_rwmh_sample
+
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    scale = _extract_rw_scale(sampler, d)
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+
+    run = fused_rwmh_sample(
+        tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
+        thin=thinning, consts=consts, tile_chains=tile_chains,
+    )
+
+    if initial_params is None:
+        raise ValueError("engine='fused' requires initial_params")
+    init = jnp.asarray(initial_params, jnp.float32)
+    if init.ndim == 1:
+        params_t = jnp.broadcast_to(init[:, None], (d, num_chains))
+    else:  # batched (C, d)
+        params_t = jnp.asarray(init).T
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(params_t, *const_args)
+
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(params_t, lp0, seed)
+
+    # (N, d, C) → (C, N, d); (N, 1, C) → (C, N)
+    params = jnp.transpose(samples, (2, 0, 1))
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
+    return transitions, final_state

@@ -299,6 +299,7 @@ def sample(
     chain_type: Optional[str] = None,
     param_names=None,
     vectorized: Optional[bool] = None,
+    engine: str = "xla",
     progress: bool = False,  # accepted for API parity; progress is reported
     # at chunk granularity by runtime/chunked.py, not per-step
 ):
@@ -323,6 +324,24 @@ def sample(
         thinning=thinning,
     )
     master = as_key(key)
+
+    if engine == "fused":
+        from .fused import sample_fused
+
+        if num_chains is None:
+            raise ValueError("engine='fused' requires num_chains")
+        transitions, final_state = sample_fused(
+            model, sampler, n_samples, key=master, num_chains=num_chains,
+            initial_params=initial_params,
+            discard_initial=schedule.discard_initial,
+            thinning=schedule.thinning,
+        )
+        return _finish(
+            transitions, final_state, schedule, num_chains, False, sampler,
+            chain_type, param_names,
+        )
+    if engine != "xla":
+        raise ValueError(f"Unknown engine: {engine!r}")
     from_state = initial_state is not None
     method, mesh, axis = _resolve_chain_method(chain_method)
 

@@ -47,6 +47,30 @@ class TestFusedRWMH:
         xla_acc = np.asarray(res.transitions.accepted).mean()
         assert abs(float(acc.mean()) / n - xla_acc) < 0.1
 
+    def test_sample_engine_fused(self):
+        """sample(engine='fused') bundles like the XLA path and matches its
+        posterior."""
+        import jax.numpy as jnp
+
+        from advancedmh_tpu import MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+        model = gaussian_mean_scale_model()
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        c = sample(
+            model, spl, 2000, key=3, num_chains=2048, engine="fused",
+            discard_initial=1000, initial_params=jnp.asarray([0.0, 1.0]),
+            chain_type="chains", param_names=["μ", "σ"],
+        )
+        assert c.n_chains == 2048 and c.n_samples == 2000
+        ref = sample(
+            model, spl, 2000, key=3, num_chains=256,
+            discard_initial=1000, initial_params=jnp.asarray([0.0, 1.0]),
+            chain_type="chains", param_names=["μ", "σ"],
+        )
+        assert abs(float(c["μ"].mean()) - float(ref["μ"].mean())) < 0.05
+        assert abs(float(c["σ"].mean()) - float(ref["σ"].mean())) < 0.05
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
