@@ -23,6 +23,12 @@ from .distributions import (
     InverseGamma,
     Beta,
     MvNormal,
+    Bernoulli,
+    Poisson,
+    Binomial,
+    Geometric,
+    Categorical,
+    DiscreteUniform,
 )
 from .models import (
     DensityModel,
@@ -78,6 +84,8 @@ __all__ = [
     # distributions
     "Distribution", "Normal", "LogNormal", "Uniform", "Exponential", "Laplace",
     "Cauchy", "StudentT", "TDist", "Gamma", "InverseGamma", "Beta", "MvNormal",
+    "Bernoulli", "Poisson", "Binomial", "Geometric", "Categorical",
+    "DiscreteUniform",
     # models
     "DensityModel", "CapabilityOrder", "as_model", "logdensity",
     "logdensity_and_gradient", "guarded_logdensity",

@@ -283,8 +283,8 @@ class SamplingResult:
 def sample(
     model,
     sampler: Sampler,
-    n_samples: int,
-    *,
+    n_samples,
+    *args,
     key: Union[int, KeyArray] = 0,
     num_chains: Optional[int] = None,
     chain_method: ChainMethod = None,
@@ -316,6 +316,22 @@ def sample(
     the output bundle (≙ the reference's chain_type= kwarg and ext/ output
     adapters); None returns the raw :class:`SamplingResult`.
     """
+    # Positional ensemble form ≙ the reference's
+    # ``sample(model, spl, MCMCThreads(), N, nchains)``
+    # (reference test/runtests.jl:99-105).
+    if isinstance(n_samples, (MCMCSerial, MCMCThreads, MCMCDistributed)):
+        chain_method = n_samples
+        if not args:
+            raise TypeError(
+                "sample(model, sampler, MCMC*(), N[, nchains]) needs N"
+            )
+        n_samples = args[0]
+        if len(args) > 1:
+            num_chains = args[1]
+        args = ()
+    if args:
+        raise TypeError(f"unexpected positional arguments: {args!r}")
+
     model = as_model(model)
     schedule = Schedule(
         n_samples=n_samples,

@@ -1,0 +1,113 @@
+"""Per-sampler throughput on the local accelerator.
+
+Measures steady-state chain-steps/s (or walker-steps/s for emcee) of each
+sampler's hot loop under `lax.scan`, with compile excluded (warmup uses the
+same static step count as the timed run).
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_scan(step, state, n):
+    @partial(jax.jit, static_argnums=1)
+    def run(state, n):
+        def body(s, j):
+            return step(j, s), None
+
+        s, _ = jax.lax.scan(body, state, jnp.arange(n))
+        return s
+
+    jax.block_until_ready(run(state, n))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(state, n))
+    return time.perf_counter() - t0
+
+
+def bench_rwmh(C=16384, n=4000):
+    from advancedmh_tpu import MvNormal, RWMH, Transition
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+    master = jax.random.key(0)
+    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (C, 1))
+    state = Transition(params, jax.vmap(model.logdensity_fn)(params),
+                       jnp.zeros((C,), bool))
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_mala(C=16384, n=4000):
+    from advancedmh_tpu import MALA, MvNormal
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    s2 = 1e-3
+    spl = MALA(lambda g: MvNormal(s2 / 2.0 * g, scale=jnp.sqrt(s2)))
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_ram_warmup(C=16384, n=2000, d=2):
+    from advancedmh_tpu import RobustAdaptiveMetropolis
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+    cov = np.eye(d, dtype=np.float32)
+    cov[0, 1] = cov[1, 0] = 0.5
+    model = correlated_gaussian_model(cov)
+    spl = RobustAdaptiveMetropolis()
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.zeros(d))
+    ))(keys)
+    step = lambda j, s: spl.step_warmup_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_emcee(W=16384, n=2000):
+    from advancedmh_tpu import Ensemble, InverseGamma, Normal, StretchProposal
+    from advancedmh_tpu.models.targets import emcee_demo_model
+
+    model = emcee_demo_model()
+    spl = Ensemble(W, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)]))
+    master = jax.random.key(0)
+    _, state = jax.jit(lambda k: spl.init(k, model))(master)
+    step = lambda j, s: spl.step(jax.random.fold_in(master, j), s, model)[1]
+    return W * n / _time_scan(step, state, n)
+
+
+def main():
+    out = {}
+    for name, fn in [
+        ("rwmh", bench_rwmh),
+        ("mala", bench_mala),
+        ("ram_warmup", bench_ram_warmup),
+        ("emcee", bench_emcee),
+    ]:
+        out[name] = fn()
+        print(f"{name}: {out[name]/1e6:.1f} M chain-steps/s", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
