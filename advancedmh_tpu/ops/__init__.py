@@ -1,9 +1,10 @@
 from .cholesky import chol_rank1_update, chol_rank1_update_batched
-from .pallas_mh import fused_rwmh, tile_fn_from_batched
+from .pallas_mh import fused_rwmh, fused_rwmh_sample, tile_fn_from_batched
 
 __all__ = [
     "chol_rank1_update",
     "chol_rank1_update_batched",
     "fused_rwmh",
+    "fused_rwmh_sample",
     "tile_fn_from_batched",
 ]

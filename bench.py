@@ -77,6 +77,28 @@ def bench_xla(model):
     return N_CHAINS * N_STEPS / dt, "xla-scan"
 
 
+def bench_ess_per_s(model):
+    """ESS/s of μ on the same model via the fused sampling engine (the
+    BASELINE.json companion metric)."""
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.ops import fused_rwmh_sample
+
+    N = 4000
+    run = fused_rwmh_sample(
+        model.tile_density, d=2, scale=0.1, n_samples=N, burn=1000, thin=1,
+        consts=model.tile_consts,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
+    jax.block_until_ready(run(params, lp0, 0))
+    t0 = time.perf_counter()
+    samples, _, _ = run(params, lp0, 1)
+    jax.block_until_ready(samples)
+    dt = time.perf_counter() - t0
+    mu_ess = float(ess(samples[:, 0, :]))  # (N, C)
+    return mu_ess / dt
+
+
 def main():
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
 
@@ -88,6 +110,12 @@ def main():
               "falling back to XLA", file=sys.stderr)
         throughput, engine = bench_xla(model)
 
+    try:
+        ess_rate = bench_ess_per_s(model)
+    except Exception as e:
+        print(f"ess bench skipped ({type(e).__name__}: {e})", file=sys.stderr)
+        ess_rate = None
+
     print(
         json.dumps(
             {
@@ -96,6 +124,7 @@ def main():
                 "unit": f"chain-steps/s ({N_CHAINS} chains, README 2-param "
                         f"Gaussian model, engine={engine})",
                 "vs_baseline": throughput / REFERENCE_SEQ_THROUGHPUT,
+                "ess_per_s_mu": ess_rate,
             }
         )
     )
