@@ -66,6 +66,8 @@ def sample_chunked(
     to_host: bool = True,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    store_path: Optional[str] = None,
+    param_names=None,
     **kwargs,
 ) -> SamplingResult:
     """Like :func:`sample` but in chunks of ``chunk_size`` samples.
@@ -81,6 +83,11 @@ def sample_chunked(
     with ``resume=True`` skips completed chunks (reloaded from disk) and
     continues from the saved state — the result is bit-identical to an
     uninterrupted run.
+
+    ``store_path`` streams every chunk into the native :class:`ChainStore`
+    (io/chainstore.py): flattened ``params... , lp`` float32 rows written by
+    a background C++ thread, so disk IO overlaps the next device chunk. Read
+    back with ``advancedmh_tpu.io.open_reader(store_path)``.
     """
     schedule = Schedule(
         n_samples=n_samples,
@@ -92,6 +99,7 @@ def sample_chunked(
 
     chunks = []
     state = None
+    store = None
     offset = 0
     done = 0
     t0 = time.perf_counter()
@@ -168,6 +176,22 @@ def sample_chunked(
             )
         chunks.append(host)
         done += n_chunk
+        if store_path is not None:
+            from ..output.flatten import flatten_params
+
+            sample_ndim = 1 if num_chains is None else 2
+            values, names = flatten_params(
+                host.transitions.params, sample_ndim, param_names
+            )
+            lp_col = np.asarray(host.transitions.lp)[..., None]
+            rows = np.concatenate(
+                [np.asarray(values), lp_col], axis=-1
+            ).reshape(-1, len(names) + 1)
+            if store is None:
+                from ..io import ChainStore
+
+                store = ChainStore(store_path, list(names) + ["lp"])
+            store.append(rows)
         if checkpoint_dir is not None:
             _save_tree(
                 os.path.join(checkpoint_dir, f"chunk_{chunk_idx:05d}.npz"),
@@ -202,6 +226,9 @@ def sample_chunked(
                 file=sys.stderr,
             )
         chunk_idx += 1
+
+    if store is not None:
+        store.close()
 
     if resumed_chunk_files:
         tmpl_tr = (
