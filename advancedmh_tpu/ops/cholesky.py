@@ -34,6 +34,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# Crossover measured on v5e (benchmarks: RAM warmup, 4096 chains): the
+# unrolled form wins below ~16 dims (+30% at d=8), the masked fori_loop wins
+# above (static unrolling at d=32 regressed 1.8x).
+UNROLL_MAX_DIM = 16
+
+
 def chol_rank1_update(
     L: jax.Array, v: jax.Array, sign: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -42,11 +48,38 @@ def chol_rank1_update(
     ``sign`` is a traced scalar in {+1, -1} (0 degrades to a no-op update).
     ``ok`` is False when a downdate loses positive-definiteness; callers
     should then discard ``L'``.
+
+    For ``d <= UNROLL_MAX_DIM`` the column sweep is *statically unrolled*:
+    every index is compile-time constant, so the batched (vmapped) form
+    compiles to pure dense vector ops with no dynamic gather/scatter — the
+    difference between HBM-bound scatter chains and fused VPU arithmetic.
+    Larger ``d`` falls back to a ``fori_loop`` with masked column ops.
     """
     d = L.shape[-1]
     dtype = L.dtype
-    rows = jnp.arange(d)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    if d <= UNROLL_MAX_DIM:
+        # Work on the list of columns; all indices static.
+        ok = jnp.asarray(True)
+        cols = [L[:, k] for k in range(d)]
+        mask = [jnp.arange(d) > k for k in range(d)]
+        for k in range(d):
+            col = cols[k]
+            Lkk = col[k]
+            vk = v[k]
+            r2 = Lkk * Lkk + sign * vk * vk
+            ok = ok & (r2 > 0)
+            r = jnp.sqrt(jnp.maximum(r2, tiny))
+            c = r / Lkk
+            s = vk / Lkk
+            newcol = jnp.where(mask[k], (col + sign * s * v) / c, col)
+            newcol = newcol.at[k].set(r)
+            cols[k] = newcol
+            v = jnp.where(mask[k], c * v - s * newcol, v)
+        return jnp.stack(cols, axis=1), ok
+
+    rows = jnp.arange(d)
 
     def body(k, carry):
         L, v, ok = carry
