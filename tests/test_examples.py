@@ -1,0 +1,45 @@
+"""Executable-example tests (≙ the reference's Documenter doctests): every
+script in examples/ runs end-to-end at reduced size and its assertions hold."""
+import importlib.util
+import os
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+
+def _run(name, env):
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            f"example_{name}", os.path.join(EXAMPLES, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_readme_example():
+    _run("readme_example", {"N_SAMPLES": "3000", "NUM_CHAINS": "16"})
+
+
+def test_ram_example():
+    _run("ram_example", {"N_SAMPLES": "3000"})
+
+
+def test_emcee_example():
+    _run("emcee_example", {"N_WALKERS": "512", "N_SAMPLES": "600"})
+
+
+def test_mala_example():
+    _run("mala_example", {"N_SAMPLES": "5000"})
