@@ -65,16 +65,33 @@ def correlated_gaussian_model(cov) -> DensityModel:
     """Zero-mean multivariate Gaussian target (≙ the RAM doctest Gaussian and
     the MALA issue-#95 quadratic density)."""
     cov = jnp.asarray(cov, jnp.float32)
-    mv = MvNormal.from_cov(jnp.zeros(cov.shape[0], jnp.float32), cov)
+    d = cov.shape[0]
+    mv = MvNormal.from_cov(jnp.zeros(d, jnp.float32), cov)
     prec = jnp.linalg.inv(cov)
+    logdet_const = float(
+        -0.5 * np.log(np.linalg.det(2.0 * np.pi * np.asarray(cov)))
+    )
 
     def ldg(x):
         g = -(prec @ x)
         return mv.log_prob(x), g
 
-    return DensityModel(
-        mv.log_prob, logdensity_and_gradient_fn=ldg, dimension=cov.shape[0]
+    def tile_density(x, prec_c):
+        """Pallas tile form: x (d, TC), prec_c (d, d) const; statically
+        unrolled quadratic form (Mosaic-friendly, no tiny matmuls)."""
+        px = [
+            sum(prec_c[i, j] * x[j : j + 1] for j in range(d))
+            for i in range(d)
+        ]
+        q = sum(x[i : i + 1] * px[i] for i in range(d))
+        return -0.5 * q + logdet_const
+
+    model = DensityModel(
+        mv.log_prob, logdensity_and_gradient_fn=ldg, dimension=d
     )
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(model, "tile_consts", (np.asarray(prec),))
+    return model
 
 
 def emcee_demo_model(transformed: bool = False) -> DensityModel:

@@ -74,6 +74,80 @@ def _tile_density_of(model):
     )
 
 
+def sample_fused_ram(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    num_warmup: int,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+):
+    """Fused RAM engine (ops/pallas_ram.py): the full adaptive warmup +
+    frozen-S sampling schedule in one VMEM-resident kernel (~8× the XLA
+    path). Requires the standard RAM schedule ``discard_initial ==
+    num_warmup`` (warmup draws discarded)."""
+    from ..ops.pallas_ram import fused_ram_sample
+    from ..samplers.ram import RobustAdaptiveMetropolisState
+
+    if discard_initial != num_warmup:
+        raise ValueError(
+            "fused RAM supports the standard schedule discard_initial == "
+            "num_warmup; use the XLA path to keep warmup draws."
+        )
+    if initial_params is None:
+        raise ValueError("engine='fused' requires initial_params")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+
+    run = fused_ram_sample(
+        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
+        alpha=sampler.alpha, gamma=sampler.gamma,
+        eigenvalue_lower_bound=sampler.eigenvalue_lower_bound,
+        eigenvalue_upper_bound=sampler.eigenvalue_upper_bound,
+        consts=consts, tile_chains=tile_chains,
+    )
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    S0 = (
+        jnp.eye(d, dtype=jnp.float32)
+        if sampler.S is None
+        else jnp.tril(jnp.asarray(sampler.S, jnp.float32))
+    ).reshape(d * d, 1)
+    S0 = jnp.broadcast_to(S0, (d * d, num_chains))
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, S_final = run(x_t, lp0, S0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    C = num_chains
+    total_iters = num_warmup + n_samples * thinning + 1
+    final_state = RobustAdaptiveMetropolisState(
+        x=params[:, -1, :],
+        logprob=lp[:, -1],
+        S=jnp.transpose(S_final.reshape(d, d, C), (2, 0, 1)),
+        logalpha=jnp.zeros((C,), jnp.float32),
+        eta=jnp.zeros((C,), jnp.float32),
+        iteration=jnp.full((C,), total_iters, jnp.int32),
+        isaccept=accepted[:, -1],
+    )
+    return transitions, final_state
+
+
 def sample_fused(
     model,
     sampler,

@@ -342,16 +342,26 @@ def sample(
     master = as_key(key)
 
     if engine == "fused":
-        from .fused import sample_fused
+        from ..samplers.ram import RobustAdaptiveMetropolis
+        from .fused import sample_fused, sample_fused_ram
 
         if num_chains is None:
             raise ValueError("engine='fused' requires num_chains")
-        transitions, final_state = sample_fused(
-            model, sampler, n_samples, key=master, num_chains=num_chains,
-            initial_params=initial_params,
-            discard_initial=schedule.discard_initial,
-            thinning=schedule.thinning,
-        )
+        if isinstance(sampler, RobustAdaptiveMetropolis):
+            transitions, final_state = sample_fused_ram(
+                model, sampler, n_samples, key=master, num_chains=num_chains,
+                initial_params=initial_params,
+                num_warmup=schedule.num_warmup,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+            )
+        else:
+            transitions, final_state = sample_fused(
+                model, sampler, n_samples, key=master, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+            )
         return _finish(
             transitions, final_state, schedule, num_chains, False, sampler,
             chain_type, param_names,

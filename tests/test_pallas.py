@@ -71,6 +71,31 @@ class TestFusedRWMH:
         assert abs(float(c["μ"].mean()) - float(ref["μ"].mean())) < 0.05
         assert abs(float(c["σ"].mean()) - float(ref["σ"].mean())) < 0.05
 
+    def test_sample_engine_fused_ram(self):
+        """Fused RAM engine: coerced acceptance rate + covariance recovery
+        match the Vihola-2012 contract and the XLA path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import RobustAdaptiveMetropolis, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, RobustAdaptiveMetropolis(), 4000, key=5, num_chains=2048,
+            engine="fused", num_warmup=4000, initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.1, atol=0.05)
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert abs(acc - 0.234) < 0.05
+        # final adapted S reproduces the target covariance shape on average
+        S = np.asarray(res.final_state.S)  # (C, 2, 2)
+        SS = np.einsum("cij,ckj->cik", S, S).mean(0)
+        corr = SS[0, 1] / np.sqrt(SS[0, 0] * SS[1, 1])
+        assert abs(corr - 0.5) < 0.1
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
