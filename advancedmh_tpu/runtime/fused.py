@@ -148,6 +148,70 @@ def sample_fused_ram(
     return transitions, final_state
 
 
+def sample_fused_mala(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+):
+    """Fused Langevin-MALA engine (ops/pallas_mala.py): gradients traced by
+    jax.value_and_grad *inside* the kernel. Requires a sampler built with
+    ``MALA.langevin(step_size_sq)`` (the canonical proposal form — arbitrary
+    gradient→distribution closures can't be introspected)."""
+    from ..ops.pallas_mala import fused_mala_sample
+    from ..samplers.base import GradientTransition
+
+    s2 = getattr(sampler, "langevin_step_size_sq", None)
+    if s2 is None:
+        raise ValueError(
+            "engine='fused' for MALA requires MALA.langevin(step_size_sq) "
+            "(the canonical MvNormal(σ²/2 g, σ² I) proposal)."
+        )
+    if initial_params is None:
+        raise ValueError("please specify initial parameters")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+
+    run = fused_mala_sample(
+        tile_fn, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
+        thin=thinning, consts=consts, tile_chains=tile_chains,
+    )
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, g0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    # Emitted samples carry (params, lp, accepted); the resume state is a
+    # GradientTransition with the gradient recomputed at the final draws.
+    grad_last_t = jax.grad(
+        lambda xm: jnp.sum(tile_fn(xm, *const_args))
+    )(jnp.transpose(params[:, -1, :]))  # (d, C)
+    transitions = Transition(params, lp, accepted)
+    final_state = GradientTransition(
+        params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t), accepted[:, -1]
+    )
+    return transitions, final_state
+
+
 def sample_fused(
     model,
     sampler,

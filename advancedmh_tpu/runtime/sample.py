@@ -342,8 +342,9 @@ def sample(
     master = as_key(key)
 
     if engine == "fused":
+        from ..samplers.mala import MALA as _MALA
         from ..samplers.ram import RobustAdaptiveMetropolis
-        from .fused import sample_fused, sample_fused_ram
+        from .fused import sample_fused, sample_fused_mala, sample_fused_ram
 
         if num_chains is None:
             raise ValueError("engine='fused' requires num_chains")
@@ -352,6 +353,13 @@ def sample(
                 model, sampler, n_samples, key=master, num_chains=num_chains,
                 initial_params=initial_params,
                 num_warmup=schedule.num_warmup,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+            )
+        elif isinstance(sampler, _MALA):
+            transitions, final_state = sample_fused_mala(
+                model, sampler, n_samples, key=master, num_chains=num_chains,
+                initial_params=initial_params,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
             )

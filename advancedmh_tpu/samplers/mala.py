@@ -47,6 +47,20 @@ class MALA(Sampler):
         if not any(is_proposal(leaf) for leaf in leaves):
             object.__setattr__(self, "proposal", RandomWalkProposal(p))
 
+    @staticmethod
+    def langevin(step_size_sq: float) -> "MALA":
+        """Canonical Langevin proposal ``MvNormal(σ²/2·g, σ²·I)`` (≙ the
+        reference's standard usage). Records the step size so the fused
+        Pallas engine (``sample(engine='fused')``) can run it."""
+        from ..distributions import MvNormal
+
+        s2 = float(step_size_sq)
+        spl = MALA(
+            lambda g: MvNormal(0.5 * s2 * g, scale=jnp.sqrt(jnp.float32(s2)))
+        )
+        object.__setattr__(spl, "langevin_step_size_sq", s2)
+        return spl
+
     def init(
         self, key: KeyArray, model, initial_params: Optional[Any] = None
     ) -> Tuple[GradientTransition, GradientTransition]:

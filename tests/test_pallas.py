@@ -96,6 +96,31 @@ class TestFusedRWMH:
         corr = SS[0, 1] / np.sqrt(SS[0, 0] * SS[1, 1])
         assert abs(corr - 0.5) < 0.1
 
+    def test_sample_engine_fused_mala(self):
+        """Fused Langevin-MALA: covariance recovery on the quadratic density
+        (≙ reference issue #95 tolerances) with in-kernel gradients."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MALA, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, MALA.langevin(0.5), 4000, key=6, num_chains=2048,
+            engine="fused", discard_initial=1000,
+            initial_params=jnp.ones(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.05)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.1)
+        # resume state carries a valid gradient for the XLA path
+        grad = np.asarray(res.final_state.gradient)
+        x = np.asarray(res.final_state.params)
+        want = -(np.linalg.inv(SIG) @ x.T).T
+        np.testing.assert_allclose(grad, want, rtol=1e-3, atol=1e-3)
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
