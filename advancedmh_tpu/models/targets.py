@@ -100,6 +100,24 @@ def emcee_demo_model(transformed: bool = False) -> DensityModel:
     means s̄ = 49/24, m̄ = 7/6. ``transformed=True`` uses (log s, m) with the
     Jacobian correction."""
 
+    # Closed form of the joint density, shared by the tile kernels below
+    # (Mosaic-safe: log/div only — no powf, no lgamma; lgamma(2) = 0):
+    #   IG(2,3):  2·log 3 − 3·log s − 3/s
+    #   N(0,√s)(m) + N(m,√s)(1.5) + N(m,√s)(2.0):
+    #             −(3/2)(log s + log 2π) − [m² + (1.5−m)² + (2−m)²]/(2s)
+    _IG_CONST = 2.0 * math.log(3.0)
+
+    def _joint_from_s(log_s, inv_s, m):
+        quad = m * m + (1.5 - m) * (1.5 - m) + (2.0 - m) * (2.0 - m)
+        return (
+            _IG_CONST
+            - 3.0 * log_s
+            - 3.0 * inv_s
+            - 1.5 * log_s
+            - 3.0 * _HALF_LOG_2PI
+            - 0.5 * quad * inv_s
+        )
+
     if transformed:
 
         def logprob(theta):
@@ -114,7 +132,15 @@ def emcee_demo_model(transformed: bool = False) -> DensityModel:
                 + logs
             )
 
-        return DensityModel(logprob, dimension=2)
+        def tile_density_t(x):
+            """Pallas tile form: x = (log s, m) rows, shape (2, TC)."""
+            logs, m = x[0:1, :], x[1:2, :]
+            return _joint_from_s(logs, jnp.exp(-logs), m) + logs
+
+        model = DensityModel(logprob, dimension=2)
+        object.__setattr__(model, "tile_density", tile_density_t)
+        object.__setattr__(model, "tile_consts", ())
+        return model
 
     def logprob(theta):
         s, m = theta[0], theta[1]
@@ -128,4 +154,16 @@ def emcee_demo_model(transformed: bool = False) -> DensityModel:
         )
         return jnp.where(s > 0, lp, -jnp.inf)
 
-    return DensityModel(logprob, dimension=2)
+    def tile_density(x):
+        """Pallas tile form: x = (s, m) rows, shape (2, TC). Out-of-support
+        proposals (s ≤ 0) get a large-negative lp instead of −inf so in-kernel
+        logα arithmetic never produces NaN."""
+        s, m = x[0:1, :], x[1:2, :]
+        safe_s = jnp.maximum(s, jnp.float32(1e-6))
+        lp = _joint_from_s(jnp.log(safe_s), 1.0 / safe_s, m)
+        return jnp.where(s > 0, lp, jnp.float32(-1e30))
+
+    model = DensityModel(logprob, dimension=2)
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(model, "tile_consts", ())
+    return model

@@ -212,6 +212,68 @@ def sample_fused_mala(
     return transitions, final_state
 
 
+def sample_fused_emcee(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_walkers: Optional[int] = None,
+):
+    """Fused emcee engine (ops/pallas_emcee.py): red-black stretch moves with
+    the partner gather done as a one-hot matmul on the MXU, whole ensemble
+    resident in VMEM. Walker count must be a multiple of 256 (the two
+    half-ensembles must align to 128 vector lanes)."""
+    from ..ops.pallas_emcee import fused_emcee_sample
+
+    W = sampler.n_walkers
+    if tile_walkers is None:
+        tile_walkers = W
+    if tile_walkers % 256 != 0 or W % tile_walkers != 0:
+        raise ValueError(
+            f"engine='fused' emcee needs n_walkers ({W}) to be a multiple of "
+            "256 (half-ensembles must align to 128 lanes); use the XLA "
+            "engine for other walker counts."
+        )
+    d = model.dimension
+    if d is None:
+        if initial_params is None:
+            raise ValueError(
+                "engine='fused' emcee needs model.dimension or initial_params"
+            )
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+
+    run = fused_emcee_sample(
+        tile_fn, d=d, n_samples=n_samples,
+        stretch_length=sampler.proposal.stretch_length,
+        burn=burn, thin=thinning, consts=consts, tile_walkers=tile_walkers,
+    )
+    init_key, seed_key = jax.random.split(key)
+    if initial_params is None:
+        # ≙ reference init (src/emcee.jl:29-34): per-walker prior draws.
+        init_tr, _ = sampler.init(init_key, model)
+        x = init_tr.params
+    else:
+        x = initial_params
+    x_t = jnp.asarray(x, jnp.float32).reshape(W, d).T  # (d, W)
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, seed)
+
+    params = jnp.transpose(samples, (0, 2, 1))  # (N, W, d)
+    lp = lps[:, 0, :]  # (N, W)
+    accepted = accs[:, 0, :] > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[-1], lp[-1], accepted[-1])
+    return transitions, final_state
+
+
 def sample_fused(
     model,
     sampler,

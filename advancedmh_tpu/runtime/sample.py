@@ -342,10 +342,28 @@ def sample(
     master = as_key(key)
 
     if engine == "fused":
+        from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.mala import MALA as _MALA
         from ..samplers.ram import RobustAdaptiveMetropolis
-        from .fused import sample_fused, sample_fused_mala, sample_fused_ram
+        from .fused import (
+            sample_fused,
+            sample_fused_emcee,
+            sample_fused_mala,
+            sample_fused_ram,
+        )
 
+        if isinstance(sampler, _Ensemble):
+            # walkers are the batch axis; num_chains does not apply
+            transitions, final_state = sample_fused_emcee(
+                model, sampler, n_samples, key=master,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+            )
+            return _finish(
+                transitions, final_state, schedule, None, False, sampler,
+                chain_type, param_names,
+            )
         if num_chains is None:
             raise ValueError("engine='fused' requires num_chains")
         if isinstance(sampler, RobustAdaptiveMetropolis):

@@ -38,15 +38,24 @@ def bench_pallas(model):
     )
     params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
     lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
-    jax.block_until_ready(run(params, lp0, 0))  # compile + warmup
-    t0 = time.perf_counter()
-    out = run(params, lp0, 1)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+
+    def go(seed):
+        # Fence with a scalar read: on the axon tunnel block_until_ready can
+        # return before the kernel finishes; a dependent host read is a true
+        # sync and costs only one ~2 ms RTT (see benchmarks/samplers.py).
+        out = run(params, lp0, seed)
+        return float(out[2].mean())
+
+    go(0)  # compile + warmup (kernel and the mean-read graph)
+    best, acc_sum = float("inf"), None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        acc_sum = go(1 + trial)
+        best = min(best, time.perf_counter() - t0)
     # sanity: sampler must actually be accepting/rejecting
-    acc_rate = float(out[2].mean()) / N_STEPS
+    acc_rate = acc_sum / N_STEPS
     assert 0.05 < acc_rate < 0.95, f"degenerate acceptance rate {acc_rate}"
-    return N_CHAINS * N_STEPS / dt, "pallas-fused"
+    return N_CHAINS * N_STEPS / best, "pallas-fused"
 
 
 def bench_xla(model):
@@ -90,10 +99,15 @@ def bench_ess_per_s(model):
     )
     params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
     lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
-    jax.block_until_ready(run(params, lp0, 0))
+
+    def go(seed):
+        samples, _, _ = run(params, lp0, seed)
+        float(samples[-1, 0, 0])  # scalar-read fence (see bench_pallas)
+        return samples
+
+    go(0)
     t0 = time.perf_counter()
-    samples, _, _ = run(params, lp0, 1)
-    jax.block_until_ready(samples)
+    samples = go(1)
     dt = time.perf_counter() - t0
     mu_ess = float(ess(samples[:, 0, :]))  # (N, C)
     return mu_ess / dt

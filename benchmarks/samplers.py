@@ -96,14 +96,53 @@ def bench_emcee(W=16384, n=2000):
     return W * n / _time_scan(step, state, n)
 
 
+def bench_emcee_fused(W=16384, n=4000):
+    """Fused Pallas emcee engine (TPU only): every draw emitted, thin=1.
+
+    Walkers must start *spread* (an ensemble collapsed to one point is a
+    fixed point of the stretch move), and the warmup run uses a different
+    seed so the timed call can't be served from any result cache."""
+    from advancedmh_tpu.models.targets import emcee_demo_model
+    from advancedmh_tpu.ops import fused_emcee_sample
+
+    model = emcee_demo_model()
+    run = fused_emcee_sample(
+        model.tile_density, d=2, n_samples=n, burn=0, thin=1,
+        tile_walkers=1024,
+    )
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x_t = jnp.stack([
+        1.0 + jax.random.gamma(k1, 2.0, (W,)),  # s > 0, spread
+        jax.random.normal(k2, (W,)),
+    ])
+    lp0 = model.tile_density(x_t)
+
+    def go(seed):
+        # One tiny dependent host transfer as the fence: on the axon tunnel
+        # block_until_ready alone often returns before the kernel finishes
+        # (observed), while a scalar read is a true sync and costs only one
+        # RTT (~2 ms) — verified against steady-state block timing.
+        s, lp, acc = run(x_t, lp0, seed)
+        return float(lp[-1, 0, 0])
+
+    go(3)  # compile kernel + the scalar-read graph
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        go(4 + trial)
+        best = min(best, time.perf_counter() - t0)
+    return W * n / best
+
+
 def main():
     out = {}
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     for name, fn in [
         ("rwmh", bench_rwmh),
         ("mala", bench_mala),
         ("ram_warmup", bench_ram_warmup),
         ("emcee", bench_emcee),
-    ]:
+    ] + ([("emcee_fused", bench_emcee_fused)] if on_tpu else []):
         out[name] = fn()
         print(f"{name}: {out[name]/1e6:.1f} M chain-steps/s", flush=True)
     print(json.dumps(out))

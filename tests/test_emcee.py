@@ -113,3 +113,24 @@ class TestMechanics:
         res = sample(model, spl, 100, key=1)
         acc_rate = np.asarray(res.transitions.accepted)[1:].mean()
         assert 0.05 < acc_rate < 0.95
+
+
+class TestFusedEngineErrors:
+    """engine='fused' validation raises before any Pallas compile, so these
+    run on CPU (the fused kernel itself is TPU-gated in test_pallas.py)."""
+
+    def test_walker_count_must_align(self):
+        model = DensityModel(_logprob_untransformed)
+        spl = Ensemble(
+            1000, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)])
+        )
+        with pytest.raises(ValueError, match="multiple of\\s+256"):
+            sample(model, spl, 10, key=0, engine="fused")
+
+    def test_needs_tile_density(self):
+        model = DensityModel(lambda th: -0.5 * jnp.sum(th**2), dimension=2)
+        spl = Ensemble(
+            1024, StretchProposal([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        )
+        with pytest.raises(ValueError, match="Pallas-traceable density"):
+            sample(model, spl, 10, key=0, engine="fused")

@@ -121,6 +121,33 @@ class TestFusedRWMH:
         want = -(np.linalg.inv(SIG) @ x.T).T
         np.testing.assert_allclose(grad, want, rtol=1e-3, atol=1e-3)
 
+    def test_sample_engine_fused_emcee(self):
+        """Fused emcee engine: MXU one-hot partner gather recovers the
+        analytic posterior means s̄ = 49/24, m̄ = 7/6 (≙ test/emcee.jl) and
+        matches the XLA red-black path."""
+        import numpy as np
+
+        from advancedmh_tpu import (
+            Ensemble, InverseGamma, Normal, StretchProposal, sample,
+        )
+        from advancedmh_tpu.models.targets import emcee_demo_model
+
+        model = emcee_demo_model()
+        spl = Ensemble(
+            1024, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)])
+        )
+        res = sample(
+            model, spl, 1000, key=100, engine="fused", discard_initial=200,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert abs(draws[:, 0].mean() - 49.0 / 24.0) < 0.1
+        assert abs(draws[:, 1].mean() - 7.0 / 6.0) < 0.1
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert 0.1 < acc < 0.9
+        # state shapes follow the walker-ensemble layout
+        assert res.transitions.params.shape == (1000, 1024, 2)
+        assert res.final_state.params.shape == (1024, 2)
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
