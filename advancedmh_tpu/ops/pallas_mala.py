@@ -81,7 +81,9 @@ def _mala_kernel(
         x = jnp.where(mask, y, x)
         lp = jnp.where(accept, lp_y, lp)
         grad = jnp.where(mask, grad_y, grad)
-        return x, lp, grad, accept
+        # f32, not bool: an i1 vector carried through nested fori_loops
+        # (emit×thin) fails Mosaic legalization (tpu.roll_vectors on i1).
+        return x, lp, grad, accept.astype(jnp.float32)
 
     def sweep(carry, n):
         def body(_, c):
@@ -90,7 +92,7 @@ def _mala_kernel(
 
         return jax.lax.fori_loop(0, n, body, carry)
 
-    zero_acc = jnp.zeros((1, tc), jnp.float32) > 1
+    zero_acc = jnp.zeros((1, tc), jnp.float32)
 
     @pl.when(g_id == 0)
     def _():
@@ -104,7 +106,7 @@ def _mala_kernel(
         carry = sweep(carry, thin)
         out_x_ref[pl.ds(e, 1)] = carry[0][None]
         out_lp_ref[pl.ds(e, 1)] = carry[1][None]
-        out_acc_ref[pl.ds(e, 1)] = carry[3].astype(jnp.float32)[None]
+        out_acc_ref[pl.ds(e, 1)] = carry[3][None]
         return carry
 
     carry = (sx_ref[:], slp_ref[:], sg_ref[:], zero_acc)

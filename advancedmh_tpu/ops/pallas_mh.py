@@ -58,23 +58,37 @@ def _normal_pair(shape) -> Tuple[jax.Array, jax.Array]:
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def _perturb_fn(scale_ref, tril: bool):
+    """Proposal perturbation from the scale block: per-dim column multiply
+    (diagonal) or an L @ z triangular matvec on the MXU (full covariance,
+    ``scale_tril``). Symmetry of the random walk is unaffected either way."""
+    scale = scale_ref[:]
+    if tril:
+        return lambda z: jax.lax.dot_general(
+            scale, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return lambda z: scale * z
+
+
 def _rwmh_kernel(
     seed_ref,  # (1, 1) int32 in SMEM
-    scale_ref,  # (d, 1) f32 — per-dim proposal std-dev
+    scale_ref,  # (d, 1) f32 per-dim std-dev, or (d, d) lower Cholesky
     *rest,
     logdensity_tile_fn: Callable,
     n_consts: int,
     n_steps: int,
+    tril: bool = False,
 ):
     const_refs = rest[:n_consts]
     params_ref, lp_ref, out_params_ref, out_lp_ref, accepts_ref = rest[n_consts:]
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     d, tc = params_ref.shape
-    scale_col = scale_ref[:]  # (d, 1)
+    perturb = _perturb_fn(scale_ref, tril)
     consts = tuple(c[:] for c in const_refs)
 
     def one_step(params, lp, acc, z):
-        candidate = params + scale_col * z
+        candidate = params + perturb(z)
         lp_cand = logdensity_tile_fn(candidate, *consts)  # (1, TC)
         # accept iff log(U) < logα  ⟺  -randexp < logα (symmetric proposal)
         u = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
@@ -117,15 +131,15 @@ def fused_rwmh(
     """Build the fused kernel: ``fn(params_T (d, C), lp (1, C), seed) ->
     (params_T, lp, accept_counts)`` running ``n_steps`` in one launch.
 
-    ``scale`` is a scalar or length-d per-dimension proposal std-dev.
-    ``consts`` are model constant arrays (e.g. observed data, ≥2-D each);
-    they are broadcast to every tile and passed to ``logdensity_tile_fn``
-    after the candidate params (Pallas kernels cannot close over arrays).
-    ``C`` must be a multiple of ``tile_chains`` (pick a multiple of 128).
+    ``scale`` is a scalar or length-d per-dimension proposal std-dev, or a
+    ``(d, d)`` lower-triangular Cholesky factor for a full-covariance
+    proposal. ``consts`` are model constant arrays (e.g. observed data, ≥2-D
+    each); they are broadcast to every tile and passed to
+    ``logdensity_tile_fn`` after the candidate params (Pallas kernels cannot
+    close over arrays). ``C`` must be a multiple of ``tile_chains`` (pick a
+    multiple of 128).
     """
-    scale_arr = jnp.broadcast_to(
-        jnp.asarray(scale, jnp.float32).reshape(-1, 1), (d, 1)
-    ) * jnp.ones((d, 1), jnp.float32)
+    scale_arr, tril = _scale_block(scale, d)
     consts = tuple(
         jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
         jnp.asarray(c, jnp.float32)
@@ -136,6 +150,7 @@ def fused_rwmh(
         logdensity_tile_fn=logdensity_tile_fn,
         n_consts=len(consts),
         n_steps=n_steps,
+        tril=tril,
     )
 
     @jax.jit
@@ -176,15 +191,30 @@ def fused_rwmh(
     return run
 
 
+def _scale_block(scale, d: int) -> Tuple[jax.Array, bool]:
+    """Normalize a user scale to the kernel's block: (d, 1) per-dim std-dev
+    column, or (d, d) lower Cholesky (tril=True)."""
+    arr = jnp.asarray(scale, jnp.float32)
+    if arr.ndim == 2:
+        if arr.shape != (d, d):
+            raise ValueError(f"matrix scale must be ({d}, {d}), got {arr.shape}")
+        return jnp.tril(arr), True
+    col = jnp.broadcast_to(arr.reshape(-1, 1), (d, 1)) * jnp.ones(
+        (d, 1), jnp.float32
+    )
+    return col, False
+
+
 def _rwmh_sampling_kernel(
     seed_ref,  # (1, 1) int32 SMEM
-    scale_ref,  # (d, 1) f32
+    scale_ref,  # (d, 1) f32, or (d, d) lower Cholesky
     *rest,
     logdensity_tile_fn: Callable,
     n_consts: int,
     burn: int,
     thin: int,
     n_groups: int,
+    tril: bool = False,
 ):
     const_refs = rest[:n_consts]
     (params_ref, lp_ref, out_params_ref, out_lp_ref, out_acc_ref,
@@ -193,7 +223,7 @@ def _rwmh_sampling_kernel(
     g = pl.program_id(1)  # sample group (inner); emits E samples per step
     d, tc = params_ref.shape
     E = out_params_ref.shape[0]
-    scale_col = scale_ref[:]
+    perturb = _perturb_fn(scale_ref, tril)
     consts = tuple(c[:] for c in const_refs)
 
     # Distinct deterministic seed per (tile, group): PRNG state need not
@@ -202,7 +232,7 @@ def _rwmh_sampling_kernel(
 
     def one_step(carry, z):
         params, lp, acc = carry
-        candidate = params + scale_col * z
+        candidate = params + perturb(z)
         lp_cand = logdensity_tile_fn(candidate, *consts)
         u = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
         accept = jnp.log(u) < lp_cand - lp
@@ -282,11 +312,10 @@ def fused_rwmh_sample(
     thinned samples (amortizing per-grid-step overhead), chain state persists
     in VMEM scratch across a tile's sweep, and output blocks stream to HBM —
     ~12 bytes/chain/kept-sample against ~800 GB/s HBM, invisible next to
-    compute.
+    compute. ``scale`` may be scalar/length-d (diagonal) or a ``(d, d)``
+    lower Cholesky factor (full-covariance proposal via MXU matvec).
     """
-    scale_arr = jnp.broadcast_to(
-        jnp.asarray(scale, jnp.float32).reshape(-1, 1), (d, 1)
-    ) * jnp.ones((d, 1), jnp.float32)
+    scale_arr, tril = _scale_block(scale, d)
     consts = tuple(
         jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
         jnp.asarray(c, jnp.float32)
@@ -302,6 +331,7 @@ def fused_rwmh_sample(
         burn=burn,
         thin=thin,
         n_groups=n_groups,
+        tril=tril,
     )
 
     @jax.jit

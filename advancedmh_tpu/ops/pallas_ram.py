@@ -170,13 +170,13 @@ def _ram_kernel(
         acc = flat[d + 1]
         for _ in range(thin):  # static
             x, lp, S2, accept = step(x, lp, S_rows, jnp.int32(1), adapt=False)
-            acc = accept
+            acc = accept.astype(jnp.float32)  # f32 carry: i1 fori carries are fragile in Mosaic
         out_x_ref[pl.ds(e, 1)] = jnp.concatenate(x, axis=0)[None]
         out_lp_ref[pl.ds(e, 1)] = lp[None]
-        out_acc_ref[pl.ds(e, 1)] = acc.astype(jnp.float32)[None]
+        out_acc_ref[pl.ds(e, 1)] = acc[None]
         return tuple(x) + (lp, acc)
 
-    flat = tuple(x) + (lp, jnp.zeros((1, tc), jnp.float32) > 1)
+    flat = tuple(x) + (lp, jnp.zeros((1, tc), jnp.float32))
     flat = jax.lax.fori_loop(0, E, ebody, flat)
     store_state(list(flat[:d]), flat[d], S_rows)
     out_S_ref[:] = jnp.concatenate(S_rows, axis=0)

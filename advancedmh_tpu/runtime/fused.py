@@ -29,8 +29,9 @@ from ..utils import KeyArray
 
 
 def _extract_rw_scale(sampler, d: int) -> np.ndarray:
-    """Return the per-dimension proposal std-dev, or raise if the sampler is
-    not a symmetric Gaussian random walk."""
+    """Return the proposal scale — per-dimension std-dev ``(d,)`` or a full
+    lower-Cholesky factor ``(d, d)`` — or raise if the sampler is not a
+    symmetric Gaussian random walk."""
     if not isinstance(sampler, MetropolisHastings):
         raise ValueError("engine='fused' supports MetropolisHastings only")
     p = sampler.proposal
@@ -40,12 +41,10 @@ def _extract_rw_scale(sampler, d: int) -> np.ndarray:
         )
     payload = p.payload
     if isinstance(payload, MvNormal):
-        if payload.scale_tril is not None:
-            raise ValueError(
-                "engine='fused' supports isotropic/diagonal MvNormal proposals"
-            )
         if not np.allclose(np.asarray(payload.loc), 0.0):
             raise ValueError("fused RW proposal must be zero-mean")
+        if payload.scale_tril is not None:
+            return np.tril(np.asarray(payload.scale_tril, np.float32))
         if payload.scale_diag is not None:
             return np.broadcast_to(np.asarray(payload.scale_diag), (d,))
         return np.broadcast_to(np.asarray(payload.scale), (d,))
@@ -56,6 +55,47 @@ def _extract_rw_scale(sampler, d: int) -> np.ndarray:
     raise ValueError(
         f"engine='fused' does not support payload {type(payload).__name__}"
     )
+
+
+def _shard_fused(run, mesh, axis: str):
+    """Wrap a fused engine ``run(*arrays, seed)`` in ``shard_map`` over the
+    chains/walkers mesh axis (≙ MCMCDistributed, SURVEY.md §2: chain
+    parallelism has zero hot-loop collectives — each device runs the whole
+    VMEM-resident kernel on its chain shard).
+
+    Every array argument and output carries chains on its *last* axis, so
+    in/out specs shard the last dim. Each shard offsets the hardware-PRNG
+    seed by a Knuth-multiplicative stride so no two devices replay the same
+    stream (the kernels themselves only stride by small tile/group indices).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    SEED_STRIDE = np.int32(-1640531527)  # 2654435761 mod 2^32 (Knuth)
+
+    def wrapped(*args):
+        *arrs, seed = args
+        arrs = [jnp.asarray(a) for a in arrs]
+        in_specs = tuple(
+            PartitionSpec(*([None] * (a.ndim - 1) + [axis])) for a in arrs
+        ) + (PartitionSpec(),)
+        out_shape = jax.eval_shape(run, *arrs, jnp.int32(0))
+        out_specs = jax.tree_util.tree_map(
+            lambda s: PartitionSpec(*([None] * (s.ndim - 1) + [axis])),
+            out_shape,
+        )
+
+        def body(*xs):
+            *xa, sd = xs
+            idx = jax.lax.axis_index(axis).astype(jnp.int32)
+            return run(*xa, sd + idx * SEED_STRIDE)
+
+        return shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )(*arrs, jnp.asarray(seed, jnp.int32))
+
+    return wrapped
 
 
 def _tile_density_of(model):
@@ -86,18 +126,30 @@ def sample_fused_ram(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 1024,
+    initial_S=None,
+    iteration_offset: int = 0,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Fused RAM engine (ops/pallas_ram.py): the full adaptive warmup +
     frozen-S sampling schedule in one VMEM-resident kernel (~8× the XLA
-    path). Requires the standard RAM schedule ``discard_initial ==
-    num_warmup`` (warmup draws discarded)."""
+    path). Fresh runs require the standard RAM schedule ``discard_initial ==
+    num_warmup`` (warmup draws discarded); resumed runs (``initial_S`` set,
+    via ``sample_chunked``) continue post-warmup with S frozen and require
+    ``num_warmup == 0``, ``discard_initial == thinning``."""
     from ..ops.pallas_ram import fused_ram_sample
     from ..samplers.ram import RobustAdaptiveMetropolisState
 
-    if discard_initial != num_warmup:
+    if initial_S is None:
+        if discard_initial != num_warmup:
+            raise ValueError(
+                "fused RAM supports the standard schedule discard_initial == "
+                "num_warmup; use the XLA path to keep warmup draws."
+            )
+    elif num_warmup != 0 or discard_initial != thinning:
         raise ValueError(
-            "fused RAM supports the standard schedule discard_initial == "
-            "num_warmup; use the XLA path to keep warmup draws."
+            "fused RAM resume expects the chunk-resume schedule "
+            "(num_warmup=0, discard_initial=thinning)."
         )
     if initial_params is None:
         raise ValueError("engine='fused' requires initial_params")
@@ -113,6 +165,8 @@ def sample_fused_ram(
         eigenvalue_upper_bound=sampler.eigenvalue_upper_bound,
         consts=consts, tile_chains=tile_chains,
     )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
     init = jnp.asarray(initial_params, jnp.float32)
     x_t = (
         jnp.broadcast_to(init[:, None], (d, num_chains))
@@ -121,12 +175,17 @@ def sample_fused_ram(
     )
     const_args = tuple(jnp.asarray(c) for c in consts)
     lp0 = tile_fn(x_t, *const_args)
-    S0 = (
-        jnp.eye(d, dtype=jnp.float32)
-        if sampler.S is None
-        else jnp.tril(jnp.asarray(sampler.S, jnp.float32))
-    ).reshape(d * d, 1)
-    S0 = jnp.broadcast_to(S0, (d * d, num_chains))
+    if initial_S is not None:  # (C, d, d) per-chain adapted factors
+        S0 = jnp.transpose(
+            jnp.asarray(initial_S, jnp.float32), (1, 2, 0)
+        ).reshape(d * d, num_chains)
+    else:
+        S0 = (
+            jnp.eye(d, dtype=jnp.float32)
+            if sampler.S is None
+            else jnp.tril(jnp.asarray(sampler.S, jnp.float32))
+        ).reshape(d * d, 1)
+        S0 = jnp.broadcast_to(S0, (d * d, num_chains))
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs, S_final = run(x_t, lp0, S0, seed)
 
@@ -135,7 +194,7 @@ def sample_fused_ram(
     accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
     transitions = Transition(params, lp, accepted)
     C = num_chains
-    total_iters = num_warmup + n_samples * thinning + 1
+    total_iters = iteration_offset + num_warmup + n_samples * thinning + 1
     final_state = RobustAdaptiveMetropolisState(
         x=params[:, -1, :],
         logprob=lp[:, -1],
@@ -159,6 +218,8 @@ def sample_fused_mala(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Fused Langevin-MALA engine (ops/pallas_mala.py): gradients traced by
     jax.value_and_grad *inside* the kernel. Requires a sampler built with
@@ -185,6 +246,8 @@ def sample_fused_mala(
         tile_fn, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
         thin=thinning, consts=consts, tile_chains=tile_chains,
     )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
     init = jnp.asarray(initial_params, jnp.float32)
     x_t = (
         jnp.broadcast_to(init[:, None], (d, num_chains))
@@ -222,6 +285,8 @@ def sample_fused_emcee(
     discard_initial: int,
     thinning: int,
     tile_walkers: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Fused emcee engine (ops/pallas_emcee.py): red-black stretch moves with
     the partner gather done as a one-hot matmul on the MXU, whole ensemble
@@ -253,6 +318,8 @@ def sample_fused_emcee(
         stretch_length=sampler.proposal.stretch_length,
         burn=burn, thin=thinning, consts=consts, tile_walkers=tile_walkers,
     )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
     init_key, seed_key = jax.random.split(key)
     if initial_params is None:
         # ≙ reference init (src/emcee.jl:29-34): per-walker prior draws.
@@ -285,6 +352,8 @@ def sample_fused(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 2048,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Run the fused Pallas sampling engine; returns the raw pieces in the
     standard (chains, samples, ...) layout."""
@@ -301,6 +370,8 @@ def sample_fused(
         tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
         thin=thinning, consts=consts, tile_chains=tile_chains,
     )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
 
     if initial_params is None:
         raise ValueError("engine='fused' requires initial_params")

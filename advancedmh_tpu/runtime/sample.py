@@ -352,13 +352,45 @@ def sample(
             sample_fused_ram,
         )
 
+        if collect_states:
+            raise ValueError(
+                "engine='fused' does not collect per-step states; use the "
+                "XLA engine for collect_states=True."
+            )
+        # Multi-chip: MCMCDistributed/"shard_map" wraps the fused engine in
+        # shard_map over the chains mesh axis (zero hot-loop collectives —
+        # each device runs the whole VMEM kernel on its shard, with a
+        # per-shard PRNG seed stride).
+        f_method, f_mesh, f_axis = _resolve_chain_method(chain_method)
+        if f_method == "shard_map":
+            from ..parallel.mesh import make_mesh
+
+            if f_mesh is None:
+                f_mesh = make_mesh(axis=f_axis)
+        else:
+            f_mesh = None
+        mesh_kw = {"mesh": f_mesh, "mesh_axis": f_axis}
+        # Resume (chunked runs): continue from a saved state. The fused
+        # engines draw from the hardware PRNG, so chunked-fused runs are
+        # deterministic given (key, chunk layout) but not bitwise-equal to an
+        # unchunked fused run — distribution-equality is the fused contract.
+        offset = iteration_offset or 0
+        fkey = jax.random.fold_in(master, offset) if offset else master
+        resume_S = None
+        if initial_state is not None:
+            if isinstance(sampler, RobustAdaptiveMetropolis):
+                initial_params = initial_state.x
+                resume_S = initial_state.S
+            else:
+                initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
             # walkers are the batch axis; num_chains does not apply
             transitions, final_state = sample_fused_emcee(
-                model, sampler, n_samples, key=master,
+                model, sampler, n_samples, key=fkey,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                **mesh_kw,
             )
             return _finish(
                 transitions, final_state, schedule, None, False, sampler,
@@ -368,25 +400,30 @@ def sample(
             raise ValueError("engine='fused' requires num_chains")
         if isinstance(sampler, RobustAdaptiveMetropolis):
             transitions, final_state = sample_fused_ram(
-                model, sampler, n_samples, key=master, num_chains=num_chains,
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 num_warmup=schedule.num_warmup,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                initial_S=resume_S,
+                iteration_offset=offset,
+                **mesh_kw,
             )
         elif isinstance(sampler, _MALA):
             transitions, final_state = sample_fused_mala(
-                model, sampler, n_samples, key=master, num_chains=num_chains,
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                **mesh_kw,
             )
         else:
             transitions, final_state = sample_fused(
-                model, sampler, n_samples, key=master, num_chains=num_chains,
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                **mesh_kw,
             )
         return _finish(
             transitions, final_state, schedule, num_chains, False, sampler,

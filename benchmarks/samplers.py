@@ -25,10 +25,19 @@ def _time_scan(step, state, n):
         s, _ = jax.lax.scan(body, state, jnp.arange(n))
         return s
 
-    jax.block_until_ready(run(state, n))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(state, n))
-    return time.perf_counter() - t0
+    def go():
+        # scalar-read fence: block_until_ready can return early on the axon
+        # tunnel (see CLAUDE.md); a dependent host read is a true sync.
+        out = run(state, n)
+        return float(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+
+    go()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        go()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_rwmh(C=16384, n=4000):
@@ -134,6 +143,72 @@ def bench_emcee_fused(W=16384, n=4000):
     return W * n / best
 
 
+def _fence(*arrs):
+    """Scalar host reads as a true sync (see _time_scan)."""
+    return sum(float(jnp.ravel(a)[0]) for a in arrs)
+
+
+def bench_mala_fused(C=16384, n=4000):
+    """Fused Langevin-MALA engine (TPU only), every draw emitted."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_mala_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_mala_sample(
+        model.tile_density, d=2, step_size_sq=1e-3, n_samples=n, burn=0,
+        thin=1, consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *ca)))(x_t)
+
+    def go(seed):
+        s, lp, a = run(x_t, lp0, g0, seed)
+        return _fence(lp[-1])
+
+    go(0)
+    best = float("inf")
+    for t in range(3):
+        t0 = time.perf_counter()
+        go(1 + t)
+        best = min(best, time.perf_counter() - t0)
+    return C * n / best
+
+
+def bench_ram_fused(C=16384, n=2000, d=2):
+    """Fused RAM engine (TPU only): adaptive warmup throughput (warmup=n,
+    1 emitted draw — comparable to bench_ram_warmup's adapt-step rate)."""
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+    from advancedmh_tpu.ops import fused_ram_sample
+
+    cov = np.eye(d, dtype=np.float32)
+    cov[0, 1] = cov[1, 0] = 0.5
+    model = correlated_gaussian_model(cov)
+    run = fused_ram_sample(
+        model.tile_density, d=d, n_samples=1, warmup=n,
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.zeros((d, C), jnp.float32)
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    S0 = jnp.broadcast_to(
+        jnp.eye(d, dtype=jnp.float32).reshape(d * d, 1), (d * d, C)
+    )
+
+    def go(seed):
+        s, lp, a, S = run(x_t, lp0, S0, seed)
+        return _fence(lp[-1])
+
+    go(0)
+    best = float("inf")
+    for t in range(3):
+        t0 = time.perf_counter()
+        go(1 + t)
+        best = min(best, time.perf_counter() - t0)
+    return C * n / best
+
+
 def main():
     out = {}
     on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -142,7 +217,11 @@ def main():
         ("mala", bench_mala),
         ("ram_warmup", bench_ram_warmup),
         ("emcee", bench_emcee),
-    ] + ([("emcee_fused", bench_emcee_fused)] if on_tpu else []):
+    ] + ([
+        ("mala_fused", bench_mala_fused),
+        ("ram_fused", bench_ram_fused),
+        ("emcee_fused", bench_emcee_fused),
+    ] if on_tpu else []):
         out[name] = fn()
         print(f"{name}: {out[name]/1e6:.1f} M chain-steps/s", flush=True)
     print(json.dumps(out))
