@@ -107,18 +107,80 @@ class Chains:
         return jnp.cov(flat, rowvar=False)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
-        """Per-parameter mean/std/mcse/ess/rhat (≙ MCMCChains summarystats)."""
+        """Per-parameter mean/std/naive_se/mcse/ess/rhat (≙ MCMCChains
+        summarystats, reference README.md:57-63 output columns)."""
         out: Dict[str, Dict[str, float]] = {}
         for i, name in enumerate(self.names):
             x = self.values[:, i, :]
+            n_total = x.shape[0] * x.shape[1]
+            std = float(jnp.std(x))
             out[name] = {
                 "mean": float(jnp.mean(x)),
-                "std": float(jnp.std(x)),
+                "std": std,
+                "naive_se": std / n_total**0.5,
                 "mcse": float(mcse(x)),
                 "ess": float(ess(x)),
                 "rhat": float(rhat(x)),
             }
         return out
+
+    DEFAULT_QUANTILES = (0.025, 0.25, 0.5, 0.75, 0.975)
+
+    def quantiles(
+        self, probs: Sequence[float] = DEFAULT_QUANTILES
+    ) -> Dict[str, Dict[float, float]]:
+        """Per-parameter posterior quantiles over all draws (≙ the MCMCChains
+        'Quantiles' table, reference README.md:66-74: 2.5/25/50/75/97.5%)."""
+        qs = jnp.quantile(
+            self.values, jnp.asarray(list(probs)), axis=(0, 2)
+        )  # (n_probs, n_params)
+        return {
+            name: {float(p): float(qs[j, i]) for j, p in enumerate(probs)}
+            for i, name in enumerate(self.names)
+        }
+
+    def describe(self) -> str:
+        """Human-readable report: header, summary statistics, and quantiles
+        (≙ the printed MCMCChains output block, reference README.md:44-74)."""
+        lines = [
+            f"Chains with data of type "
+            f"{self.n_samples}×{self.n_params + 1}×{self.n_chains} Array",
+            f"Iterations        = {self.range.start}:"
+            f"{self.range[-1] if self.n_samples else self.range.start}",
+            f"Thinning interval = {self.thin}",
+            f"Chains            = {self.n_chains}",
+            f"Samples per chain = {self.n_samples}",
+            f"internals         = {', '.join(self.internals)}",
+            f"parameters        = {', '.join(self.names)}",
+            "",
+            "Summary Statistics",
+        ]
+        stats = self.summary()
+        cols = ["mean", "std", "naive_se", "mcse", "ess", "rhat"]
+        width = max(10, max(len(n) for n in self.names) + 2)
+        lines.append(
+            "  " + "parameters".ljust(width)
+            + "".join(c.rjust(12) for c in cols)
+        )
+        for name in self.names:
+            row = stats[name]
+            lines.append(
+                "  " + name.ljust(width)
+                + "".join(f"{row[c]:12.4g}" for c in cols)
+            )
+        lines += ["", "Quantiles"]
+        quants = self.quantiles()
+        probs = list(next(iter(quants.values())).keys())
+        lines.append(
+            "  " + "parameters".ljust(width)
+            + "".join(f"{100 * p:g}%".rjust(12) for p in probs)
+        )
+        for name in self.names:
+            lines.append(
+                "  " + name.ljust(width)
+                + "".join(f"{q:12.4g}" for q in quants[name].values())
+            )
+        return "\n".join(lines)
 
     # -- concatenation (≙ AbstractMCMC.chainscat) --------------------------
 

@@ -68,7 +68,6 @@ def _shard_fused(run, mesh, axis: str):
     seed by a Knuth-multiplicative stride so no two devices replay the same
     stream (the kernels themselves only stride by small tile/group indices).
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec
 
     SEED_STRIDE = np.int32(-1640531527)  # 2654435761 mod 2^32 (Knuth)
@@ -90,10 +89,52 @@ def _shard_fused(run, mesh, axis: str):
             idx = jax.lax.axis_index(axis).astype(jnp.int32)
             return run(*xa, sd + idx * SEED_STRIDE)
 
-        return shard_map(
+        return jax.shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )(*arrs, jnp.asarray(seed, jnp.int32))
+
+    return wrapped
+
+
+def _fused_tiling(num_chains: int, max_tile: int, mesh, axis: str):
+    """Pick (padded chain count, tile size) for a fused kernel launch.
+
+    The Pallas kernels need the per-device chain count to be a multiple of
+    the tile and tiles to be lane-aligned (128). Rather than pushing that
+    onto callers, pad the batch up to the next 128·n_devices multiple and
+    choose the largest lane-aligned tile ≤ ``max_tile`` dividing the
+    per-device count (for power-of-two batches this is ``max_tile`` itself).
+    """
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    unit = 128 * n_dev
+    c_pad = -(-num_chains // unit) * unit
+    k = (c_pad // n_dev) // 128  # per-device lane groups
+    for t in range(min(k, max_tile // 128), 0, -1):
+        if k % t == 0:
+            return c_pad, 128 * t
+    raise AssertionError("unreachable: t=1 always divides k")
+
+
+def _pad_chains(run, c: int, c_pad: int):
+    """Wrap a fused engine so callers may pass any chain count: array inputs
+    are edge-padded on the chain (last) axis to ``c_pad`` before the kernel
+    and every output is trimmed back to ``c`` chains."""
+    if c_pad == c:
+        return run
+
+    def wrapped(*args):
+        *arrs, seed = args
+        padded = [
+            jnp.pad(
+                jnp.asarray(a),
+                [(0, 0)] * (jnp.ndim(a) - 1) + [(0, c_pad - c)],
+                mode="edge",
+            )
+            for a in arrs
+        ]
+        out = run(*padded, seed)
+        return jax.tree_util.tree_map(lambda x: x[..., :c], out)
 
     return wrapped
 
@@ -157,16 +198,18 @@ def sample_fused_ram(
     if d is None:
         d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
 
     run = fused_ram_sample(
         tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
         alpha=sampler.alpha, gamma=sampler.gamma,
         eigenvalue_lower_bound=sampler.eigenvalue_lower_bound,
         eigenvalue_upper_bound=sampler.eigenvalue_upper_bound,
-        consts=consts, tile_chains=tile_chains,
+        consts=consts, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
     init = jnp.asarray(initial_params, jnp.float32)
     x_t = (
         jnp.broadcast_to(init[:, None], (d, num_chains))
@@ -241,13 +284,15 @@ def sample_fused_mala(
         d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
 
     run = fused_mala_sample(
         tile_fn, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
-        thin=thinning, consts=consts, tile_chains=tile_chains,
+        thin=thinning, consts=consts, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
     init = jnp.asarray(initial_params, jnp.float32)
     x_t = (
         jnp.broadcast_to(init[:, None], (d, num_chains))
@@ -365,13 +410,15 @@ def sample_fused(
     scale = _extract_rw_scale(sampler, d)
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
 
     run = fused_rwmh_sample(
         tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
-        thin=thinning, consts=consts, tile_chains=tile_chains,
+        thin=thinning, consts=consts, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
 
     if initial_params is None:
         raise ValueError("engine='fused' requires initial_params")

@@ -1,0 +1,86 @@
+"""CPU-side units of the fused-engine runtime (runtime/fused.py).
+
+The Pallas kernels themselves are TPU-gated (tests/test_pallas.py); these
+tests cover the engine-independent plumbing: tile selection, chain padding,
+and proposal-scale extraction.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advancedmh_tpu import MvNormal, Normal, RWMH, StaticMH
+from advancedmh_tpu.parallel.mesh import make_mesh
+from advancedmh_tpu.runtime.fused import (
+    _extract_rw_scale,
+    _fused_tiling,
+    _pad_chains,
+)
+
+
+class TestFusedTiling:
+    def test_power_of_two_keeps_max_tile(self):
+        assert _fused_tiling(16384, 2048, None, "chains") == (16384, 2048)
+        assert _fused_tiling(2048, 2048, None, "chains") == (2048, 2048)
+
+    def test_ragged_pads_to_lane_unit(self):
+        assert _fused_tiling(1000, 2048, None, "chains") == (1024, 1024)
+        assert _fused_tiling(300, 1024, None, "chains") == (384, 384)
+        assert _fused_tiling(1, 2048, None, "chains") == (128, 128)
+
+    def test_prime_lane_groups_fall_back_to_min_tile(self):
+        # 2176 / 128 = 17 (prime > 16) → only the 128 tile divides
+        assert _fused_tiling(2176, 2048, None, "chains") == (2176, 128)
+
+    def test_mesh_unit_scales_with_devices(self):
+        mesh = make_mesh(axis="chains")  # 8 virtual CPU devices (conftest)
+        n = mesh.shape["chains"]
+        c_pad, tile = _fused_tiling(1000, 2048, mesh, "chains")
+        assert c_pad % (128 * n) == 0 and c_pad >= 1000
+        assert (c_pad // n) % tile == 0
+
+    def test_tile_never_exceeds_max(self):
+        for c in (7, 129, 999, 4096, 5000):
+            c_pad, tile = _fused_tiling(c, 1024, None, "chains")
+            assert tile <= 1024 and c_pad % tile == 0 and c_pad >= c
+
+
+class TestPadChains:
+    def test_roundtrip_and_edge_padding(self):
+        seen = {}
+
+        def run(a, b, seed):
+            seen["shapes"] = (a.shape, b.shape)
+            seen["last_col"] = np.asarray(a[:, -1])
+            return a * 2.0, b + 1.0
+
+        w = _pad_chains(run, 5, 128)
+        a = jnp.arange(10.0, dtype=jnp.float32).reshape(2, 5)
+        b = jnp.ones((1, 5), jnp.float32)
+        o1, o2 = w(a, b, jnp.int32(3))
+        assert seen["shapes"] == ((2, 128), (1, 128))
+        # edge mode: padded columns replicate the last real chain
+        np.testing.assert_array_equal(seen["last_col"], np.asarray(a[:, -1]))
+        assert o1.shape == (2, 5) and o2.shape == (1, 5)
+        np.testing.assert_array_equal(np.asarray(o1), 2 * np.asarray(a))
+
+    def test_noop_when_aligned(self):
+        def run(a, seed):
+            return a
+
+        assert _pad_chains(run, 256, 256) is run
+
+
+class TestExtractScale:
+    def test_mvnormal_diag(self):
+        spl = RWMH(MvNormal(jnp.zeros(3), scale=0.2))
+        np.testing.assert_allclose(_extract_rw_scale(spl, 3), 0.2 * np.ones(3))
+
+    def test_scale_tril_passthrough(self):
+        L = np.array([[1.0, 0.0], [0.5, 2.0]], np.float32)
+        spl = RWMH(MvNormal(jnp.zeros(2), scale_tril=jnp.asarray(L)))
+        np.testing.assert_allclose(_extract_rw_scale(spl, 2), L)
+
+    def test_static_proposal_rejected(self):
+        with pytest.raises(ValueError):
+            _extract_rw_scale(StaticMH(Normal(0.0, 1.0)), 1)

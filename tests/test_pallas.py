@@ -240,6 +240,37 @@ class TestFusedRWMH:
         acc = np.asarray(res.transitions.accepted).mean()
         assert abs(acc - 0.234) < 0.06
 
+    def test_fused_ragged_num_chains(self):
+        """num_chains need not divide the tile: the runtime pads the batch
+        to the lane unit and trims outputs (runtime/fused.py::_pad_chains)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MALA, MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import (
+            correlated_gaussian_model, gaussian_mean_scale_model,
+        )
+
+        model = gaussian_mean_scale_model()
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        res = sample(
+            model, spl, 500, key=17, num_chains=1000, engine="fused",
+            discard_initial=500, initial_params=jnp.asarray([0.0, 1.0]),
+        )
+        assert res.transitions.params.shape == (1000, 500, 2)
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        data_mean = np.asarray(model.tile_consts[0]).mean()
+        assert abs(draws[:, 0].mean() - data_mean) < 0.05
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        qmodel = correlated_gaussian_model(SIG)
+        res = sample(
+            qmodel, MALA.langevin(0.5), 500, key=18, num_chains=300,
+            engine="fused", discard_initial=500, initial_params=jnp.ones(2),
+        )
+        assert res.transitions.params.shape == (300, 500, 2)
+        assert res.final_state.params.shape == (300, 2)
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh

@@ -203,5 +203,34 @@ class TestDiagnostics:
                    param_names=["μ", "σ"])
         s = c.summary()
         assert set(s.keys()) == {"μ", "σ"}
-        assert set(s["μ"].keys()) == {"mean", "std", "mcse", "ess", "rhat"}
+        assert set(s["μ"].keys()) == {
+            "mean", "std", "naive_se", "mcse", "ess", "rhat"
+        }
         assert s["μ"]["ess"] > 0 and 0.8 < s["μ"]["rhat"] < 1.5
+        assert s["μ"]["naive_se"] == pytest.approx(
+            s["μ"]["std"] / (500 * 4) ** 0.5
+        )
+
+    def test_quantiles(self):
+        # ≙ the MCMCChains 'Quantiles' table (reference README.md:66-74)
+        rng = np.random.default_rng(3)
+        vals = jnp.asarray(rng.normal(size=(2000, 1, 8)), jnp.float32)
+        c = Chains(vals, jnp.zeros((2000, 8)), ["x"])
+        q = c.quantiles()["x"]
+        assert list(q.keys()) == [0.025, 0.25, 0.5, 0.75, 0.975]
+        assert abs(q[0.5]) < 0.05
+        assert abs(q[0.975] - 1.96) < 0.1
+        assert abs(q[0.025] + 1.96) < 0.1
+        # monotone in p
+        vs = list(q.values())
+        assert all(a < b for a, b in zip(vs, vs[1:]))
+
+    def test_describe(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        c = sample(MODEL, spl, 100, key=0, num_chains=4, chain_type="chains",
+                   param_names=["μ", "σ"], discard_initial=25, thinning=4)
+        text = c.describe()
+        assert "Summary Statistics" in text and "Quantiles" in text
+        assert "Iterations        = 26:" in text  # start/thin labeling
+        assert "Thinning interval = 4" in text
+        assert "μ" in text and "97.5%" in text
