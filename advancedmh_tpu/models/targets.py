@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,6 +92,93 @@ def correlated_gaussian_model(cov) -> DensityModel:
     )
     object.__setattr__(model, "tile_density", tile_density)
     object.__setattr__(model, "tile_consts", (np.asarray(prec),))
+    return model
+
+
+def logistic_regression_model(
+    n_obs: int = 256,
+    dim: int = 32,
+    *,
+    prior_scale: float = 10.0,
+    seed: int = 0,
+    X: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+) -> DensityModel:
+    """Bayesian logistic regression: β ~ N(0, prior_scale²·I),
+    yᵢ ~ Bernoulli(σ(xᵢ·β)).
+
+    The higher-dimensional showcase target (the reference's models are all
+    d=2 closures; this is the same black-box-DensityModel capability,
+    reference src/AdvancedMH.jl:52-54, at production scale). The likelihood
+    is a matmul — on TPU the density rides the MXU in every path: the
+    vectorized XLA kernel evaluates ``(C, d) @ (d, n)``, and the fused Pallas
+    kernels evaluate ``X (n, d) @ β (d, TC)`` in VMEM. Softplus uses the
+    overflow-stable form ``max(z, 0) + log1p(exp(−|z|))`` (Mosaic-safe: no
+    powf).
+
+    When ``X``/``y`` are omitted, a synthetic dataset is generated and the
+    generating coefficients are attached as ``model.beta_true``.
+    """
+    beta_true = None
+    if X is None:
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n_obs, dim)).astype(np.float32) / np.sqrt(dim)
+        beta_true = 2.0 * rng.normal(size=(dim,)).astype(np.float32)
+        logits = X @ beta_true
+        y = (rng.uniform(size=n_obs) < 1.0 / (1.0 + np.exp(-logits))).astype(
+            np.float32
+        )
+    elif y is None:
+        raise ValueError("supply y along with X")
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n, d = X.shape
+    inv_var = 1.0 / float(prior_scale) ** 2
+
+    def _softplus(z):
+        return jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))
+
+    def logdensity(beta):
+        z = X @ beta
+        ll = jnp.sum(y * z - _softplus(z))
+        return ll - 0.5 * inv_var * jnp.sum(beta * beta)
+
+    def ldg(beta):
+        z = X @ beta
+        lp = jnp.sum(y * z - _softplus(z)) - 0.5 * inv_var * jnp.sum(
+            beta * beta
+        )
+        g = X.T @ (y - jax.nn.sigmoid(z)) - inv_var * beta
+        return lp, g
+
+    def batched(betas):  # (C, d) -> (C,): one MXU matmul for all chains
+        z = betas @ X.T  # (C, n)
+        ll = jnp.sum(y[None, :] * z - _softplus(z), axis=1)
+        return ll - 0.5 * inv_var * jnp.sum(betas * betas, axis=1)
+
+    def tile_density(b, Xc, yc):
+        """Pallas tile form: b (d, TC), Xc (n, d), yc (n, 1) — the logits
+        matmul runs on the MXU inside the fused kernel."""
+        z = jax.lax.dot_general(
+            Xc, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, TC)
+        ll = jnp.sum(yc * z - _softplus(z), axis=0, keepdims=True)
+        return ll - 0.5 * inv_var * jnp.sum(b * b, axis=0, keepdims=True)
+
+    model = DensityModel(
+        logdensity,
+        logdensity_and_gradient_fn=ldg,
+        dimension=d,
+        logdensity_batched_fn=batched,
+    )
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(
+        model, "tile_consts",
+        (np.asarray(X), np.asarray(y).reshape(-1, 1)),
+    )
+    if beta_true is not None:
+        object.__setattr__(model, "beta_true", beta_true)
     return model
 
 

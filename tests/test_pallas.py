@@ -271,6 +271,29 @@ class TestFusedRWMH:
         assert res.transitions.params.shape == (300, 500, 2)
         assert res.final_state.params.shape == (300, 2)
 
+    def test_fused_logreg_matmul_density(self):
+        """d=32 logistic regression: the in-kernel MXU matmul density gives
+        the same posterior as the XLA path (models/targets.py logreg)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import logistic_regression_model
+
+        model = logistic_regression_model(n_obs=128, dim=8, seed=3)
+        spl = RWMH(MvNormal(jnp.zeros(8), scale=0.15))
+        res = sample(
+            model, spl, 2000, key=23, num_chains=1024, engine="fused",
+            discard_initial=1000, initial_params=jnp.zeros(8),
+        )
+        fused_mean = np.asarray(res.transitions.params).mean(axis=(0, 1))
+        ref = sample(
+            model, spl, 2000, key=23, num_chains=64,
+            discard_initial=1000, initial_params=jnp.zeros(8),
+        )
+        xla_mean = np.asarray(ref.transitions.params).mean(axis=(0, 1))
+        np.testing.assert_allclose(fused_mean, xla_mean, atol=0.3)
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
