@@ -125,7 +125,7 @@ def fused_rwmh(
     n_steps: int,
     *,
     consts: Tuple[jax.Array, ...] = (),
-    tile_chains: int = 2048,
+    tile_chains: int = 1024,
     interpret: bool = False,
 ):
     """Build the fused kernel: ``fn(params_T (d, C), lp (1, C), seed) ->
@@ -300,7 +300,7 @@ def fused_rwmh_sample(
     burn: int = 0,
     thin: int = 1,
     consts: Tuple[jax.Array, ...] = (),
-    tile_chains: int = 2048,
+    tile_chains: int = 1024,
     samples_per_block: int = 32,
 ):
     """Full fused *sampling* engine: emits ``n_samples`` thinned draws.

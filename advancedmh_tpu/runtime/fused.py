@@ -396,7 +396,7 @@ def sample_fused(
     initial_params,
     discard_initial: int,
     thinning: int,
-    tile_chains: int = 2048,
+    tile_chains: int = 1024,
     mesh=None,
     mesh_axis: str = "chains",
 ):

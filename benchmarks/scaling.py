@@ -16,6 +16,13 @@ import json
 import time
 
 import jax
+
+# Env vars alone cannot select the CPU backend here (a sitecustomize hook
+# force-registers the TPU platform before this script runs); honor
+# JAX_PLATFORMS=cpu explicitly so the virtual-device flag takes effect.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
