@@ -125,7 +125,7 @@ def fused_mala_sample(
     burn: int = 0,
     thin: int = 1,
     consts: Tuple[jax.Array, ...] = (),
-    tile_chains: int = 1024,
+    tile_chains: int = 2048,
     samples_per_block: int = 32,
 ):
     """Build the fused Langevin-MALA engine.

@@ -260,7 +260,7 @@ def sample_fused_mala(
     initial_params,
     discard_initial: int,
     thinning: int,
-    tile_chains: int = 1024,
+    tile_chains: int = 2048,
     mesh=None,
     mesh_axis: str = "chains",
 ):
