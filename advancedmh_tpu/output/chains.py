@@ -157,7 +157,7 @@ class Chains:
         ]
         stats = self.summary()
         cols = ["mean", "std", "naive_se", "mcse", "ess", "rhat"]
-        width = max(10, max(len(n) for n in self.names) + 2)
+        width = max(10, *(len(n) + 2 for n in self.names)) if self.names else 10
         lines.append(
             "  " + "parameters".ljust(width)
             + "".join(c.rjust(12) for c in cols)
@@ -170,7 +170,7 @@ class Chains:
             )
         lines += ["", "Quantiles"]
         quants = self.quantiles()
-        probs = list(next(iter(quants.values())).keys())
+        probs = list(self.DEFAULT_QUANTILES)
         lines.append(
             "  " + "parameters".ljust(width)
             + "".join(f"{100 * p:g}%".rjust(12) for p in probs)

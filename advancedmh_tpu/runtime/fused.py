@@ -97,7 +97,10 @@ def _shard_fused(run, mesh, axis: str):
     return wrapped
 
 
-def _fused_tiling(num_chains: int, max_tile: int, mesh, axis: str):
+def _fused_tiling(
+    num_chains: int, max_tile: int, mesh, axis: str,
+    d: int = 2, vmem_budget: int = 4 << 20,
+):
     """Pick (padded chain count, tile size) for a fused kernel launch.
 
     The Pallas kernels need the per-device chain count to be a multiple of
@@ -105,7 +108,18 @@ def _fused_tiling(num_chains: int, max_tile: int, mesh, axis: str):
     onto callers, pad the batch up to the next 128·n_devices multiple and
     choose the largest lane-aligned tile ≤ ``max_tile`` dividing the
     per-device count (for power-of-two batches this is ``max_tile`` itself).
+
+    ``max_tile`` is additionally capped so the emission output block —
+    ``samples_per_block × d × tile`` f32 (the VMEM-resident slab streamed to
+    HBM per grid step; samples_per_block = 32, the factory default) — stays
+    within ``vmem_budget`` bytes: the tuned 1024/2048 defaults are measured
+    at d=2 and would exhaust VMEM at d ≫ 2 (pass a smaller budget for
+    kernels that carry extra per-chain state, e.g. MALA's gradients).
     """
+    if max_tile < 128:
+        raise ValueError(f"tile_chains must be ≥ 128 lanes, got {max_tile}")
+    cap = max(128, vmem_budget // (32 * d * 4) // 128 * 128)
+    max_tile = min(max_tile, cap)
     n_dev = mesh.shape[axis] if mesh is not None else 1
     unit = 128 * n_dev
     c_pad = -(-num_chains // unit) * unit
@@ -198,7 +212,7 @@ def sample_fused_ram(
     if d is None:
         d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
-    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
     run = fused_ram_sample(
         tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
@@ -284,7 +298,9 @@ def sample_fused_mala(
         d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
-    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
+    )
 
     run = fused_mala_sample(
         tile_fn, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
@@ -410,7 +426,7 @@ def sample_fused(
     scale = _extract_rw_scale(sampler, d)
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
-    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
     run = fused_rwmh_sample(
         tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,

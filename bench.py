@@ -112,8 +112,10 @@ def bench_ess_per_s(model):
     best, samples = float("inf"), None
     for trial in range(3):  # early post-compile calls can be tunnel-slow
         t0 = time.perf_counter()
-        samples = go(1 + trial)
-        best = min(best, time.perf_counter() - t0)
+        out = go(1 + trial)
+        dt = time.perf_counter() - t0
+        if dt < best:  # keep ESS and time from the same trial
+            best, samples = dt, out
     mu_ess = float(ess(samples[:, 0, :]))  # (N, C)
     return mu_ess / best
 

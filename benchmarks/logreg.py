@@ -11,6 +11,7 @@ Run on the real chip: `python benchmarks/logreg.py`.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # timing.py
 
 import json
 import time
@@ -19,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from timing import best_of
 
 N_CHAINS = 8192
 N_OBS = 256
@@ -48,12 +51,7 @@ def bench_fused_rwmh(model):
         out = run(params, lp0, seed)
         return float(out[2].mean())  # dependent scalar read = true fence
 
-    go(0)
-    best, acc = float("inf"), None
-    for t in range(3):
-        t0 = time.perf_counter()
-        acc = go(1 + t)
-        best = min(best, time.perf_counter() - t0)
+    best, acc = best_of(go)
     assert 0.05 < acc / N_STEPS < 0.95, f"degenerate acceptance {acc/N_STEPS}"
     return N_CHAINS * N_STEPS / best
 
@@ -77,12 +75,7 @@ def bench_fused_mala(model):
         float(samples[-1, 0, 0])
         return float(accs.mean())
 
-    go(0)
-    best, acc = float("inf"), None
-    for t in range(3):
-        t0 = time.perf_counter()
-        acc = go(1 + t)
-        best = min(best, time.perf_counter() - t0)
+    best, acc = best_of(go)
     assert 0.05 < acc < 0.999, f"degenerate acceptance {acc}"
     return N_CHAINS * (n_samples + 64) / best
 
@@ -109,16 +102,11 @@ def bench_xla_rwmh(model):
     params = jnp.zeros((N_CHAINS, DIM), jnp.float32)
     lp = model.logdensity_batched_fn(params)
 
-    def go():
+    def go(_seed):
         p, l = run(params, lp, N_STEPS)
         return float(l[0])
 
-    go()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        go()
-        best = min(best, time.perf_counter() - t0)
+    best, _ = best_of(go, n_trials=2)
     return N_CHAINS * N_STEPS / best
 
 
@@ -133,8 +121,10 @@ def main():
     ]:
         try:
             r = fn(model)
-            # MALA does one value+grad (≈3 matmuls: fwd + 2 in bwd) per step
-            evals = 3.0 if name == "fused_mala" else 1.0
+            # MALA's value_and_grad is 2 matmuls per step: the forward
+            # X @ β plus one backward Xᵀ @ (y − σ(z)) (z is a stored
+            # residual — there is no third matmul).
+            evals = 2.0 if name == "fused_mala" else 1.0
             out[name] = {
                 "chain_steps_per_s": r,
                 "density_gflops": r * flops_per_eval * evals / 1e9,

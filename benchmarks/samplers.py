@@ -154,9 +154,10 @@ def bench_mala_fused(C=16384, n=4000):
     from advancedmh_tpu.ops import fused_mala_sample
 
     model = gaussian_mean_scale_model()
+    # tile 2048 is the measured MALA peak (RWMH/RAM peak at 1024)
     run = fused_mala_sample(
         model.tile_density, d=2, step_size_sq=1e-3, n_samples=n, burn=0,
-        thin=1, consts=model.tile_consts, tile_chains=1024,
+        thin=1, consts=model.tile_consts, tile_chains=2048,
     )
     x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
     ca = tuple(jnp.asarray(c) for c in model.tile_consts)
@@ -177,8 +178,9 @@ def bench_mala_fused(C=16384, n=4000):
 
 
 def bench_ram_fused(C=16384, n=2000, d=2):
-    """Fused RAM engine (TPU only): adaptive warmup throughput (warmup=n,
-    1 emitted draw — comparable to bench_ram_warmup's adapt-step rate)."""
+    """Fused RAM engine (TPU only): the standard 50/50 schedule — n adaptive
+    warmup steps then n frozen-S emitted draws (the mix the README table
+    reports; 2n total steps counted)."""
     from advancedmh_tpu.models.targets import correlated_gaussian_model
     from advancedmh_tpu.ops import fused_ram_sample
 
@@ -186,7 +188,7 @@ def bench_ram_fused(C=16384, n=2000, d=2):
     cov[0, 1] = cov[1, 0] = 0.5
     model = correlated_gaussian_model(cov)
     run = fused_ram_sample(
-        model.tile_density, d=d, n_samples=1, warmup=n,
+        model.tile_density, d=d, n_samples=n, warmup=n,
         consts=model.tile_consts, tile_chains=1024,
     )
     x_t = jnp.zeros((d, C), jnp.float32)
@@ -206,7 +208,7 @@ def bench_ram_fused(C=16384, n=2000, d=2):
         t0 = time.perf_counter()
         go(1 + t)
         best = min(best, time.perf_counter() - t0)
-    return C * n / best
+    return C * 2 * n / best  # n warmup + n emitted steps per run
 
 
 def main():

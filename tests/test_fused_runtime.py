@@ -44,6 +44,21 @@ class TestFusedTiling:
             c_pad, tile = _fused_tiling(c, 1024, None, "chains")
             assert tile <= 1024 and c_pad % tile == 0 and c_pad >= c
 
+    def test_vmem_cap_scales_with_dimension(self):
+        # d=2 is uncapped; at d=32 the 4 MiB emission-block budget caps the
+        # tile at 1024 and MALA's 2 MiB budget at 512 (32 samples/block)
+        assert _fused_tiling(8192, 2048, None, "chains", d=2)[1] == 2048
+        assert _fused_tiling(8192, 2048, None, "chains", d=32)[1] == 1024
+        assert _fused_tiling(
+            8192, 2048, None, "chains", d=32, vmem_budget=2 << 20
+        )[1] == 512
+        # never below one lane group
+        assert _fused_tiling(8192, 2048, None, "chains", d=4096)[1] == 128
+
+    def test_sub_lane_tile_rejected(self):
+        with pytest.raises(ValueError, match="128"):
+            _fused_tiling(8192, 64, None, "chains")
+
 
 class TestPadChains:
     def test_roundtrip_and_edge_padding(self):
