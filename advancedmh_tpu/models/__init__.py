@@ -12,6 +12,7 @@ from .targets import (
     gaussian_mean_scale_model,
     correlated_gaussian_model,
     emcee_demo_model,
+    logistic_regression_model,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "gaussian_mean_scale_model",
     "correlated_gaussian_model",
     "emcee_demo_model",
+    "logistic_regression_model",
 ]

@@ -352,7 +352,15 @@ def sample_fused_emcee(
     """Fused emcee engine (ops/pallas_emcee.py): red-black stretch moves with
     the partner gather done as a one-hot matmul on the MXU, whole ensemble
     resident in VMEM. Walker count must be a multiple of 256 (the two
-    half-ensembles must align to 128 vector lanes)."""
+    half-ensembles must align to 128 vector lanes).
+
+    With ``mesh`` set, walkers shard over devices and each device runs an
+    *independent sub-ensemble* of W/n_devices walkers (stretch partners stay
+    shard-local — no collectives). That is a valid Goodman-Weare sampler with
+    the same stationary distribution, but with a smaller partner pool than
+    the reference's single W-walker ensemble; use the XLA path
+    (parallel/emcee.py, all_gather of the complementary half over ICI) when
+    full-ensemble partner mixing matters."""
     from ..ops.pallas_emcee import fused_emcee_sample
 
     W = sampler.n_walkers

@@ -1,0 +1,58 @@
+"""High-dimensional showcase: Bayesian logistic regression (d=32 by default).
+
+The likelihood is a matmul (X @ β), so the density rides the MXU — the same
+black-box DensityModel capability as the reference (src/AdvancedMH.jl:52-54)
+at production scale. Gradient-informed MALA mixes far better than a random
+walk here; the example prints the full Chains report (``describe()``) and
+checks the posterior mean against the MAP.
+
+ENGINE=fused runs the Pallas VMEM-resident engine (TPU; the runtime caps the
+chain tile by dimension automatically).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+from advancedmh_tpu import MALA, sample
+from advancedmh_tpu.models import logistic_regression_model
+
+DIM = int(os.environ.get("DIM", 32))
+N_OBS = int(os.environ.get("N_OBS", 256))
+N_SAMPLES = int(os.environ.get("N_SAMPLES", 2_000))
+NUM_CHAINS = int(os.environ.get("NUM_CHAINS", 64))
+ENGINE = os.environ.get("ENGINE", "xla")  # ENGINE=fused → Pallas kernel (TPU)
+
+
+def main():
+    model = logistic_regression_model(n_obs=N_OBS, dim=DIM, seed=3)
+
+    # MAP by gradient ascent (the log-posterior is strictly concave).
+    beta = jnp.zeros(DIM, jnp.float32)
+    for _ in range(500):
+        _, g = model.logdensity_and_gradient_fn(beta)
+        beta = beta + 0.05 * g
+
+    step2 = 0.08 * 8.0 / DIM  # rough 1/d step-size scaling
+    chain = sample(
+        model, MALA.langevin(step2), N_SAMPLES, key=0,
+        num_chains=NUM_CHAINS, engine=ENGINE, discard_initial=500,
+        initial_params=beta, chain_type="chains",
+        param_names=[f"β{i}" for i in range(DIM)],
+    )
+    print(chain.describe())
+
+    post_mean = np.asarray(
+        [float(chain[f"β{i}"].mean()) for i in range(DIM)]
+    )
+    err = np.abs(post_mean - np.asarray(beta)).max()
+    print(f"max |posterior mean − MAP| = {err:.3f}")
+    assert err < 0.6, "posterior mean should sit near the concave MAP"
+    return chain
+
+
+if __name__ == "__main__":
+    main()

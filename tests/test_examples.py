@@ -43,3 +43,10 @@ def test_emcee_example():
 
 def test_mala_example():
     _run("mala_example", {"N_SAMPLES": "5000"})
+
+
+def test_logreg_example():
+    _run(
+        "logreg_example",
+        {"DIM": "8", "N_OBS": "128", "N_SAMPLES": "1500", "NUM_CHAINS": "32"},
+    )
