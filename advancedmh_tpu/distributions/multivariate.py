@@ -69,7 +69,15 @@ class MvNormal(Distribution):
         d = self.dim
         diff = x - self.loc
         if self.scale_tril is not None:
+            # triangular_solve does not broadcast batch dims — align L and
+            # diff explicitly so a chain-batched x works against a single L
+            # (the step_batched hot path for full-covariance proposals).
             L = self.scale_tril
+            batch = jnp.broadcast_shapes(
+                jnp.shape(L)[:-2], jnp.shape(diff)[:-1]
+            )
+            L = jnp.broadcast_to(L, batch + jnp.shape(L)[-2:])
+            diff = jnp.broadcast_to(diff, batch + (d,))
             z = jax.scipy.linalg.solve_triangular(L, diff[..., None], lower=True)[
                 ..., 0
             ]

@@ -80,7 +80,12 @@ def as_model(model_or_fn) -> DensityModel:
     if callable(cap):
         cap = cap()
     if cap is None:
-        cap = CapabilityOrder.ONE if ldg is not None else CapabilityOrder.ONE
+        # No declared capability: an object providing its own gradient is
+        # order 1; otherwise order 0, so MALA raises the reference's helpful
+        # error (src/MALA.jl:42-52) instead of attempting value_and_grad on
+        # a density never declared differentiable. (Plain callables and
+        # DensityModel default to order 1 — jax can differentiate them.)
+        cap = CapabilityOrder.ONE if ldg is not None else CapabilityOrder.ZERO
     return DensityModel(
         logdensity_fn=ld,
         logdensity_and_gradient_fn=ldg,

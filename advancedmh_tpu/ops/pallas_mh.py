@@ -277,8 +277,11 @@ def _rwmh_sampling_kernel(
             store(2 * k + 1, carry)
             return carry
 
-        assert E % 2 == 0
         carry = jax.lax.fori_loop(0, E // 2, emit2, carry0)
+        if E % 2:  # odd block: one unpaired trailing step
+            z, _ = _normal_pair((d, tc))
+            carry = one_step(carry, z)
+            store(E - 1, carry)
     else:
 
         def emit(e, carry):

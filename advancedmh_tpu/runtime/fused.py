@@ -191,7 +191,15 @@ def sample_fused_ram(
     path). Fresh runs require the standard RAM schedule ``discard_initial ==
     num_warmup`` (warmup draws discarded); resumed runs (``initial_S`` set,
     via ``sample_chunked``) continue post-warmup with S frozen and require
-    ``num_warmup == 0``, ``discard_initial == thinning``."""
+    ``num_warmup == 0``, ``discard_initial == thinning``.
+
+    Schedule note: sample k is the state after ``num_warmup + k·thinning``
+    steps — all ``num_warmup`` steps adapt (matching the XLA contract
+    "steps j ≤ num_warmup use step_warmup"), and the first emit lands one
+    thinning stride *after* the XLA schedule's sample 1 (which is the state
+    at step ``num_warmup`` exactly). Both sides of the stride are stationary
+    frozen-S draws and the engines share no RNG bitstream, so the runs are
+    equal in distribution; only the absolute step labels differ."""
     from ..ops.pallas_ram import fused_ram_sample
     from ..samplers.ram import RobustAdaptiveMetropolisState
 
@@ -364,13 +372,20 @@ def sample_fused_emcee(
     from ..ops.pallas_emcee import fused_emcee_sample
 
     W = sampler.n_walkers
-    if tile_walkers is None:
-        tile_walkers = W
-    if tile_walkers % 256 != 0 or W % tile_walkers != 0:
+    per_device = W if mesh is None else W // mesh.shape[mesh_axis]
+    if mesh is not None and W % mesh.shape[mesh_axis] != 0:
         raise ValueError(
-            f"engine='fused' emcee needs n_walkers ({W}) to be a multiple of "
-            "256 (half-ensembles must align to 128 lanes); use the XLA "
-            "engine for other walker counts."
+            f"n_walkers ({W}) must divide over the {mesh.shape[mesh_axis]}-"
+            "device mesh"
+        )
+    if tile_walkers is None:
+        # under shard_map each device's kernel sees only its walker shard
+        tile_walkers = per_device
+    if tile_walkers % 256 != 0 or per_device % tile_walkers != 0:
+        raise ValueError(
+            f"engine='fused' emcee needs the per-device walker count "
+            f"({per_device}) to be a multiple of 256 (half-ensembles must "
+            "align to 128 lanes); use the XLA engine for other walker counts."
         )
     d = model.dimension
     if d is None:

@@ -78,6 +78,12 @@ class Ensemble(Sampler):
             params = jax.vmap(lambda k: propose_initial(k, static))(keys)
         else:
             params = initial_params
+            got = jax.tree_util.tree_leaves(params)[0].shape[0]
+            if got != self.n_walkers:
+                raise ValueError(
+                    f"initial_params carries {got} walkers but the Ensemble "
+                    f"was built with n_walkers={self.n_walkers}"
+                )
         lp = jax.vmap(lambda p: logdensity(model, p))(params)
         t = Transition(params, lp, jnp.zeros((self.n_walkers,), bool))
         return t, t

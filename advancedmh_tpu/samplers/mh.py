@@ -120,11 +120,35 @@ def StaticMH(d) -> MetropolisHastings:
     return MetropolisHastings(StaticProposal(d))
 
 
+def _provably_symmetric_increment(payload) -> bool:
+    """A random-walk increment with an even density (zero-mean Gaussian with
+    any concrete scale) gives q(x'|x) = q(x|x') identically — safe to
+    short-circuit the Hastings ratio to a trace-time 0."""
+    from ..distributions import Normal
+
+    if isinstance(payload, (MvNormal, Normal)):
+        try:
+            import numpy as np
+
+            return bool(np.allclose(np.asarray(payload.loc), 0.0))
+        except Exception:  # loc is a tracer — cannot prove at build time
+            return False
+    return False
+
+
 def RWMH(d) -> MetropolisHastings:
     """≙ ``RWMH`` (src/mh-core.jl:50-51): random-walk Metropolis.
 
     ``RWMH(k)`` with an int builds a standard k-dim MvNormal increment.
+    Zero-mean Gaussian increments (including the int form) are flagged
+    symmetric: their q-ratio is identically 0 and the static flag removes it
+    at trace time — the reference computes-and-cancels two d-dim logpdfs per
+    step instead (src/proposal.jl:190-196 only short-circuits the
+    ``Symmetric*`` aliases). Other payloads keep symmetric=False; wrap in
+    ``SymmetricRandomWalkProposal`` to assert symmetry yourself.
     """
     if isinstance(d, int):
         d = MvNormal.standard(d)
-    return MetropolisHastings(RandomWalkProposal(d))
+    return MetropolisHastings(
+        RandomWalkProposal(d, symmetric=_provably_symmetric_increment(d))
+    )

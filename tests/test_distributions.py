@@ -84,6 +84,21 @@ class TestMvNormal:
         np.testing.assert_allclose(xs.mean(0), loc, atol=0.02)
         np.testing.assert_allclose(np.cov(xs.T), cov, atol=0.03)
 
+    def test_full_cov_batched_logprob(self):
+        """An unbatched scale_tril against chain-batched x (the step_batched
+        hot path for full-covariance proposals) must broadcast, not crash."""
+        cov = np.array([[1.5, 0.35], [0.35, 1.0]])
+        mv = d.MvNormal.from_cov(jnp.zeros(2), jnp.asarray(cov, jnp.float32))
+        xs = np.random.default_rng(0).normal(size=(16, 2)).astype(np.float32)
+        got = np.asarray(mv.log_prob(jnp.asarray(xs)))
+        want = sps.multivariate_normal(np.zeros(2), cov).logpdf(xs)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        # batched against vmap-of-single agree
+        single = np.asarray(
+            jax.vmap(mv.log_prob)(jnp.asarray(xs))
+        )
+        np.testing.assert_allclose(got, single, rtol=1e-5)
+
     def test_diag(self):
         mv = d.MvNormal(loc=jnp.zeros(2), scale_diag=jnp.asarray([0.5, 2.0]))
         x = np.array([0.3, -0.7])

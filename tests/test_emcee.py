@@ -107,6 +107,13 @@ class TestMechanics:
         res = sample(model, spl, 3, key=0, initial_params=init, discard_initial=0)
         np.testing.assert_allclose(np.asarray(res.transitions.params)[0], init)
 
+    def test_initial_params_walker_count_mismatch_raises(self):
+        model = DensityModel(_logprob_untransformed)
+        spl = Ensemble(8, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)]))
+        bad = jnp.tile(jnp.asarray([2.0, 1.0]), (6, 1))  # 6 walkers ≠ 8
+        with pytest.raises(ValueError, match="n_walkers"):
+            sample(model, spl, 3, key=0, initial_params=bad)
+
     def test_acceptance_happens(self):
         model = DensityModel(_logprob_untransformed)
         spl = Ensemble(64, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)]))

@@ -40,6 +40,24 @@ class TestBasic:
         assert abs(float(chains["μ"].mean())) < 0.1
         assert abs(float(chains["σ"].mean()) - 1.0) < 0.1
 
+    def test_logdensityproblems_object_without_grad_is_order_zero(self):
+        """≙ capability check (src/MALA.jl:42-52): a LogDensityProblems-style
+        object declaring neither capabilities nor a gradient coerces to
+        order 0, so MALA raises the helpful error instead of attempting
+        autodiff on an undeclared density."""
+        from advancedmh_tpu.models.density import CapabilityOrder, as_model
+
+        class Target:
+            dimension = 2
+
+            def logdensity(self, x):
+                return -0.5 * jnp.sum(x * x)
+
+        m = as_model(Target())
+        assert m.capabilities == CapabilityOrder.ZERO
+        with pytest.raises(ValueError, match="gradient"):
+            sample(m, SPL, 5, key=0, initial_params=jnp.zeros(2))
+
     def test_gradient_cached_in_transition(self):
         t, state = SPL.init(jax.random.key(0), MODEL, jnp.ones(2))
         assert isinstance(state, GradientTransition)

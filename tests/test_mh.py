@@ -147,3 +147,36 @@ class TestSymmetricSampling:
         spl = MetropolisHastings(RWMH(CustomNormal()).proposal)
         with pytest.raises(NotImplementedError):
             sample(m, spl, 10, key=7)
+
+    def test_rwmh_flags_zero_mean_gaussians_symmetric(self):
+        """Zero-mean Gaussian increments are provably symmetric: RWMH sets
+        the static flag so the q-ratio is a trace-time 0 instead of two
+        cancelling logpdf evaluations per step."""
+        assert RWMH(2).proposal.symmetric
+        assert RWMH(MvNormal(jnp.zeros(3), scale=0.1)).proposal.symmetric
+        assert RWMH(Normal(0.0, 1.0)).proposal.symmetric
+        # nonzero mean or non-Gaussian payloads stay unflagged
+        assert not RWMH(MvNormal(jnp.ones(2), scale=0.1)).proposal.symmetric
+        from advancedmh_tpu import Laplace
+
+        assert not RWMH(Laplace(0.0, 1.0)).proposal.symmetric
+
+
+class TestFullCovarianceProposal:
+    def test_scale_tril_batched_xla_path(self):
+        """Full-covariance RWMH on the default chain-batched XLA path
+        (regression: triangular_solve does not broadcast batch dims)."""
+        cov = np.array([[1.0, 0.6], [0.6, 1.0]], dtype=np.float32)
+        L = np.linalg.cholesky(0.5 * cov).astype(np.float32)
+        # nonzero-mean tril proposal keeps symmetric=False → q-ratio path
+        spl = RWMH(MvNormal(jnp.asarray([1e-7, 0.0]), scale_tril=jnp.asarray(L)))
+        assert not spl.proposal.symmetric
+        mv = MvNormal.from_cov(jnp.zeros(2), jnp.asarray(cov))
+        m = DensityModel(mv.log_prob, dimension=2)
+        res = sample(
+            m, spl, 3000, key=11, num_chains=32, discard_initial=1000,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.1)
+        np.testing.assert_allclose(np.cov(draws.T), cov, rtol=0.2, atol=0.1)

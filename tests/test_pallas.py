@@ -294,6 +294,25 @@ class TestFusedRWMH:
         xla_mean = np.asarray(ref.transitions.params).mean(axis=(0, 1))
         np.testing.assert_allclose(fused_mean, xla_mean, atol=0.3)
 
+    def test_fused_odd_n_samples(self):
+        """Odd sample counts below samples_per_block (thin=1) emit one
+        unpaired trailing step instead of tripping the pair-unroll assert."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+        model = gaussian_mean_scale_model()
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        for n in (1, 25):
+            res = sample(
+                model, spl, n, key=29, num_chains=256, engine="fused",
+                discard_initial=10, initial_params=jnp.asarray([0.0, 1.0]),
+            )
+            assert res.transitions.params.shape == (256, n, 2)
+            assert np.isfinite(np.asarray(res.transitions.lp)).all()
+
     def test_deterministic_given_seed(self):
         from advancedmh_tpu.models.targets import gaussian_mean_scale_model
         from advancedmh_tpu.ops import fused_rwmh
