@@ -39,8 +39,11 @@ def _load_native() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
+            # Rebuild only when the source is present and newer; an installed
+            # package may ship the .so without the .cpp — use it as-is.
             if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+                os.path.exists(_SRC)
+                and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
             ):
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",

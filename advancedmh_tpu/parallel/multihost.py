@@ -21,6 +21,7 @@ chains at any host count.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -28,6 +29,25 @@ import numpy as np
 from jax.sharding import Mesh
 
 from .mesh import make_mesh
+
+_initialized = False
+
+# Env vars whose presence marks a multi-host launch (TPU pod runtimes and
+# explicit jax.distributed setups set one of these before process start).
+_COORDINATOR_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multi_host_env() -> bool:
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    # Pod runtimes list every worker; one entry (e.g. 'localhost') is a
+    # single-host world that must not attempt distributed init.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
 
 
 def initialize(
@@ -37,20 +57,26 @@ def initialize(
 ) -> None:
     """Initialize the multi-host runtime (no-op for a single process).
 
-    Wraps ``jax.distributed.initialize``; on TPU pods the arguments are
-    auto-detected from the environment.
+    Wraps ``jax.distributed.initialize``. **Call this before any other jax
+    API** — even ``jax.process_count()`` initializes the local backend,
+    after which distributed init is impossible; this function therefore
+    decides single- vs multi-process from its arguments and the pod
+    environment, never by probing jax, and lets real initialization errors
+    on a pod propagate instead of silently degrading to per-host worlds.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # single-process run (tests, one host): nothing to do
-        pass
+    global _initialized
+    if _initialized:
+        return
+    explicit = coordinator_address is not None or num_processes not in (None, 1)
+    if not explicit and not _multi_host_env():
+        _initialized = True  # single-process run (tests, one host)
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
 
 
 def global_chain_mesh(axis: str = "chains") -> Mesh:

@@ -34,17 +34,9 @@ from .sample import SamplingResult, sample
 from .schedule import Schedule
 
 
-def _save_tree(path: str, tree: Any) -> None:
-    leaves = jax.tree_util.tree_leaves(tree)
-    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
-
-
-def _load_tree(path: str, like: Any) -> Any:
-    data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten(like)
-    return jax.tree_util.tree_unflatten(
-        treedef, [data[f"leaf_{i}"] for i in range(len(leaves))]
-    )
+# Chunk/state files both go through checkpoint.save_state/load_state: one
+# serializer (PRNG-key aware) and atomic tmp+os.replace writes, so a crash
+# mid-write never leaves a corrupt file for resume to load.
 
 
 def sample_chunked(
@@ -104,7 +96,43 @@ def sample_chunked(
     done = 0
     t0 = time.perf_counter()
     chunk_idx = 0
-    resumed_chunk_files = []
+
+    def _to_host(res):
+        if not to_host:
+            return res
+        return SamplingResult(
+            transitions=jax.tree_util.tree_map(np.asarray, res.transitions),
+            final_state=res.final_state,
+            schedule=res.schedule, num_chains=num_chains,
+            states=(
+                jax.tree_util.tree_map(np.asarray, res.states)
+                if collect_states
+                else None
+            ),
+            sampler=sampler,
+        )
+
+    def _stream_to_store(host):
+        nonlocal store
+        if store_path is None:
+            return
+        from ..output.flatten import flatten_params
+
+        lp = np.asarray(host.transitions.lp)
+        # lp carries exactly the sample axes — (S,), (C, S), or the
+        # ensemble's (S, W) — so its ndim is the correct fold point.
+        values, names = flatten_params(
+            host.transitions.params, lp.ndim, param_names
+        )
+        rows = np.concatenate(
+            [np.asarray(values), lp[..., None]], axis=-1
+        ).reshape(-1, len(names) + 1)
+        if store is None:
+            from ..io import ChainStore
+
+            store = ChainStore(store_path, list(names) + ["lp"])
+        store.append(rows)
+
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
         meta_path = os.path.join(checkpoint_dir, "meta.json")
@@ -114,10 +142,6 @@ def sample_chunked(
             done = meta["samples_done"]
             offset = meta["iteration_offset"]
             chunk_idx = meta["chunks_done"]
-            resumed_chunk_files = [
-                os.path.join(checkpoint_dir, f"chunk_{i:05d}.npz")
-                for i in range(chunk_idx)
-            ]
             if meta.get("chunk_size") != chunk_size or meta.get(
                 "n_samples"
             ) != n_samples:
@@ -125,7 +149,6 @@ def sample_chunked(
                     "resume=True requires the same n_samples/chunk_size as "
                     f"the checkpointed run ({meta})."
                 )
-            template_result = None
             if done > 0:
                 # Template run (structure only) to deserialize the state and
                 # the completed chunk files.
@@ -135,10 +158,96 @@ def sample_chunked(
                     initial_params_batched=initial_params_batched,
                     discard_initial=0, collect_states=collect_states, **kwargs,
                 )
+                # State committed with the last completed chunk (per-chunk
+                # file, referenced by the meta.json commit point — a crash
+                # between state and meta writes leaves meta pointing at the
+                # previous, consistent pair).
                 state = load_state(
-                    os.path.join(checkpoint_dir, "state.npz"),
+                    os.path.join(
+                        checkpoint_dir, f"state_{chunk_idx - 1:05d}.npz"
+                    ),
                     template_result.final_state,
                 )
+                # Reload completed chunks now and re-stream them into the
+                # chain store (ChainStore truncates on open, so the store is
+                # rebuilt consistent with the full run).
+                for i in range(chunk_idx):
+                    tr = load_state(
+                        os.path.join(checkpoint_dir, f"chunk_{i:05d}.npz"),
+                        template_result.transitions,
+                    )
+                    st = (
+                        load_state(
+                            os.path.join(
+                                checkpoint_dir, f"states_{i:05d}.npz"
+                            ),
+                            template_result.states,
+                        )
+                        if collect_states
+                        else None
+                    )
+                    host = _to_host(
+                        SamplingResult(
+                            transitions=tr, final_state=None,
+                            schedule=schedule, num_chains=num_chains,
+                            states=st, sampler=sampler,
+                        )
+                    )
+                    chunks.append(host)
+                    _stream_to_store(host)
+
+    def _finalize(rec):
+        """Host transfer + store/checkpoint/callback for a completed chunk.
+        Runs after the *next* chunk has been dispatched, so the device
+        computes chunk k+1 while chunk k crosses to host (the async-dispatch
+        double buffer the module docstring promises)."""
+        res, idx, done_after, offset_after = rec
+        host = _to_host(res)
+        chunks.append(host)
+        _stream_to_store(host)
+        if checkpoint_dir is not None:
+            save_state(
+                os.path.join(checkpoint_dir, f"chunk_{idx:05d}.npz"),
+                host.transitions,
+            )
+            if collect_states:
+                save_state(
+                    os.path.join(checkpoint_dir, f"states_{idx:05d}.npz"),
+                    host.states,
+                )
+            save_state(
+                os.path.join(checkpoint_dir, f"state_{idx:05d}.npz"),
+                res.final_state,
+            )
+            tmp = os.path.join(checkpoint_dir, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "samples_done": done_after,
+                        "iteration_offset": offset_after,
+                        "chunks_done": idx + 1,
+                        "chunk_size": chunk_size,
+                        "n_samples": n_samples,
+                    },
+                    f,
+                )
+            os.replace(tmp, os.path.join(checkpoint_dir, "meta.json"))
+            prev_state = os.path.join(
+                checkpoint_dir, f"state_{idx - 1:05d}.npz"
+            )
+            if idx > 0 and os.path.exists(prev_state):
+                os.remove(prev_state)  # superseded by the meta commit above
+        if callback is not None:
+            callback(host, idx)
+        if progress:
+            rate = done_after / max(time.perf_counter() - t0, 1e-9)
+            print(
+                f"[sample] {done_after}/{n_samples} samples "
+                f"({rate:.1f} samples/s/chain)",
+                file=sys.stderr,
+            )
+
+    pending = None
     while done < n_samples:
         n_chunk = min(chunk_size, n_samples - done)
         if state is None:
@@ -161,95 +270,16 @@ def sample_chunked(
             )
             offset += res.schedule.total_steps
         state = res.final_state
-        host = res
-        if to_host:
-            host_tr = jax.tree_util.tree_map(np.asarray, res.transitions)
-            host_st = (
-                jax.tree_util.tree_map(np.asarray, res.states)
-                if collect_states
-                else None
-            )
-            host = SamplingResult(
-                transitions=host_tr, final_state=res.final_state,
-                schedule=res.schedule, num_chains=num_chains,
-                states=host_st, sampler=sampler,
-            )
-        chunks.append(host)
         done += n_chunk
-        if store_path is not None:
-            from ..output.flatten import flatten_params
-
-            sample_ndim = 1 if num_chains is None else 2
-            values, names = flatten_params(
-                host.transitions.params, sample_ndim, param_names
-            )
-            lp_col = np.asarray(host.transitions.lp)[..., None]
-            rows = np.concatenate(
-                [np.asarray(values), lp_col], axis=-1
-            ).reshape(-1, len(names) + 1)
-            if store is None:
-                from ..io import ChainStore
-
-                store = ChainStore(store_path, list(names) + ["lp"])
-            store.append(rows)
-        if checkpoint_dir is not None:
-            _save_tree(
-                os.path.join(checkpoint_dir, f"chunk_{chunk_idx:05d}.npz"),
-                host.transitions,
-            )
-            if collect_states:
-                _save_tree(
-                    os.path.join(checkpoint_dir, f"states_{chunk_idx:05d}.npz"),
-                    host.states,
-                )
-            save_state(os.path.join(checkpoint_dir, "state.npz"), state)
-            tmp = os.path.join(checkpoint_dir, "meta.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "samples_done": done,
-                        "iteration_offset": offset,
-                        "chunks_done": chunk_idx + 1,
-                        "chunk_size": chunk_size,
-                        "n_samples": n_samples,
-                    },
-                    f,
-                )
-            os.replace(tmp, os.path.join(checkpoint_dir, "meta.json"))
-        if callback is not None:
-            callback(host, chunk_idx)
-        if progress:
-            rate = done / max(time.perf_counter() - t0, 1e-9)
-            print(
-                f"[sample] {done}/{n_samples} samples "
-                f"({rate:.1f} samples/s/chain)",
-                file=sys.stderr,
-            )
+        if pending is not None:
+            _finalize(pending)  # chunk k to host while chunk k+1 computes
+        pending = (res, chunk_idx, done, offset)
         chunk_idx += 1
+    if pending is not None:
+        _finalize(pending)
 
     if store is not None:
         store.close()
-
-    if resumed_chunk_files:
-        tmpl_tr = (
-            chunks[0].transitions if chunks else template_result.transitions
-        )
-        old = [
-            SamplingResult(
-                transitions=_load_tree(p, tmpl_tr), final_state=None,
-                schedule=schedule, num_chains=num_chains, sampler=sampler,
-                states=(
-                    _load_tree(
-                        p.replace("chunk_", "states_"),
-                        chunks[0].states if chunks else template_result.states,
-                    )
-                    if collect_states
-                    else None
-                ),
-            )
-            for p in resumed_chunk_files
-        ]
-        chunks = old + chunks
 
     axis = 0 if num_chains is None else 1
     cat = np.concatenate if to_host else (

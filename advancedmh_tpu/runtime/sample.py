@@ -486,6 +486,11 @@ def sample(
         from_state=from_state, iteration_offset=iteration_offset,
     )
 
+    if num_chains is None and method == "shard_map":
+        raise ValueError(
+            "chain_method=MCMCDistributed()/'shard_map' shards the chain "
+            "batch over the mesh and therefore requires num_chains."
+        )
     if num_chains is None:
         fn = jax.jit(chain_fn) if initial_params is not None else jax.jit(
             lambda k: chain_fn(k)

@@ -19,9 +19,12 @@ KeyArray = jax.Array
 
 
 def as_key(seed_or_key: "int | KeyArray") -> KeyArray:
-    """Coerce an int seed or an existing key to a typed PRNG key."""
-    if isinstance(seed_or_key, int):
-        return jax.random.key(seed_or_key)
+    """Coerce an int seed (Python or numpy integer) or an existing key to a
+    typed PRNG key."""
+    import numpy as np
+
+    if isinstance(seed_or_key, (int, np.integer)):
+        return jax.random.key(int(seed_or_key))
     k = jnp.asarray(seed_or_key)
     if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
         return k

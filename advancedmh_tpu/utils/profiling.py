@@ -3,7 +3,10 @@
 The reference's only instrumentation is a progress bar; here profiling is
 first-class: ``trace()`` wraps ``jax.profiler`` for TensorBoard-viewable
 device traces of the sampling kernels, and ``Timer``/``throughput`` give
-fenced walltime (``block_until_ready``) for honest samples/s numbers.
+fenced walltime for honest samples/s numbers. The fence is a dependent
+scalar host read, not ``block_until_ready`` — on tunneled TPU backends the
+latter can return before the kernel finishes (observed: 0.2 ms for a 50 ms
+kernel), silently inflating throughput by orders of magnitude.
 """
 from __future__ import annotations
 
@@ -12,6 +15,23 @@ import time
 from typing import Any, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fence(value: Any) -> Any:
+    """True completion fence: force a dependent scalar host read of every
+    array leaf (one small D2H each) and return ``value``."""
+    for leaf in jax.tree_util.tree_leaves(value):
+        if hasattr(leaf, "dtype"):
+            arr = jnp.ravel(
+                jax.random.key_data(leaf)
+                if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+                else leaf
+            )
+            if arr.size:
+                _ = np.asarray(arr[0])
+    return value
 
 
 @contextlib.contextmanager
@@ -40,8 +60,7 @@ class Timer:
 
     def fence(self, value: Any) -> Any:
         """Block until ``value``'s computation is done (call before exit)."""
-        jax.block_until_ready(value)
-        return value
+        return fence(value)
 
 
 def throughput(fn, *args, iters: int = 3, warmup: int = 1, items: int = 1):
@@ -51,10 +70,10 @@ def throughput(fn, *args, iters: int = 3, warmup: int = 1, items: int = 1):
     calls; returns (items_per_s, seconds_per_call).
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     dt = (time.perf_counter() - t0) / iters
     return items / dt, dt

@@ -82,6 +82,57 @@ class TestChunked:
             np.asarray(full.transitions.lp), recovered.transitions.lp
         )
 
+    def test_elastic_recovery_restores_chain_store(self, tmp_path):
+        """Resume re-streams completed chunks into the ChainStore (which
+        truncates on open), so the on-disk store holds the full run."""
+        from advancedmh_tpu.io import open_reader
+
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        kw = dict(key=9, num_chains=3, initial_params=jnp.asarray([0.0, 1.0]))
+        ckpt, storep = str(tmp_path / "ckpt"), str(tmp_path / "run")
+
+        class Crash(Exception):
+            pass
+
+        def boom(res, i):
+            if i == 1:
+                raise Crash
+
+        try:
+            sample_chunked(MODEL, spl, 60, chunk_size=20, checkpoint_dir=ckpt,
+                           store_path=storep, callback=boom, **kw)
+        except Crash:
+            pass
+        recovered = sample_chunked(MODEL, spl, 60, chunk_size=20,
+                                   checkpoint_dir=ckpt, store_path=storep,
+                                   resume=True, **kw)
+        data, cols = open_reader(storep)
+        assert data.shape == (60 * 3, 3)  # full run, not just post-crash rows
+        np.testing.assert_allclose(
+            np.sort(np.asarray(data[:, 2])),
+            np.sort(np.asarray(recovered.transitions.lp).ravel()),
+            rtol=1e-6,
+        )
+
+    def test_store_path_with_ensemble(self, tmp_path):
+        """Ensemble transitions carry a walker axis with num_chains=None;
+        the store folds it like a chain axis instead of crashing."""
+        from advancedmh_tpu import Ensemble, InverseGamma, Normal, StretchProposal
+        from advancedmh_tpu.io import open_reader
+        from advancedmh_tpu.models import emcee_demo_model
+
+        spl = Ensemble(
+            8, StretchProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)])
+        )
+        p = str(tmp_path / "ens")
+        sample_chunked(
+            emcee_demo_model(), spl, 30, chunk_size=10, key=0, store_path=p,
+            param_names=["s", "m"],
+        )
+        data, cols = open_reader(p)
+        assert cols == ["s", "m", "lp"]
+        assert data.shape == (30 * 8, 3)
+
     def test_callback_invoked_per_chunk(self):
         spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
         seen = []

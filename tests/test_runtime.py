@@ -225,6 +225,21 @@ class TestDiagnostics:
         vs = list(q.values())
         assert all(a < b for a, b in zip(vs, vs[1:]))
 
+    def test_numpy_integer_seed(self):
+        from advancedmh_tpu.utils import as_key
+
+        k1 = as_key(np.int64(7))
+        k2 = as_key(7)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(k1)),
+            np.asarray(jax.random.key_data(k2)),
+        )
+
+    def test_shard_map_requires_num_chains(self):
+        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
+        with pytest.raises(ValueError, match="num_chains"):
+            sample(MODEL, spl, 10, key=0, chain_method="shard_map")
+
     def test_describe(self):
         spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
         c = sample(MODEL, spl, 100, key=0, num_chains=4, chain_type="chains",
