@@ -29,6 +29,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -113,7 +114,9 @@ int cs_flush(void* handle) {
     std::unique_lock<std::mutex> lock(s->mu);
     s->cv_drain.wait(lock, [&] { return s->idle && s->queue.empty(); });
   }
+  // Durability, as documented: libc buffer → kernel → disk.
   if (fflush(s->file) != 0) s->error.store(-2);
+  else if (fsync(fileno(s->file)) != 0) s->error.store(-2);
   return s->error.load();
 }
 
@@ -137,6 +140,7 @@ int cs_close(void* handle) {
   s->cv_push.notify_one();
   s->writer.join();
   int err = s->error.load();
+  if (fflush(s->file) == 0) fsync(fileno(s->file));
   if (fclose(s->file) != 0) err = err ? err : -3;
   delete s;
   return err;
