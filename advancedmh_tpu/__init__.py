@@ -75,7 +75,7 @@ from .runtime import (
     load_state,
 )
 from .output import Chains, StructArray, chainscat
-from .diagnostics import ess, rhat, mcse
+from .diagnostics import ess, ess_bulk, ess_tail, rhat, rhat_rank, mcse
 from .parallel import make_mesh, chain_sharding
 
 __version__ = "0.1.0"
@@ -103,7 +103,8 @@ __all__ = [
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics
-    "Chains", "StructArray", "chainscat", "ess", "rhat", "mcse",
+    "Chains", "StructArray", "chainscat", "ess", "ess_bulk", "ess_tail",
+    "rhat", "rhat_rank", "mcse",
     # parallel
     "make_mesh", "chain_sharding",
 ]

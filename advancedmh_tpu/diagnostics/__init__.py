@@ -1,3 +1,3 @@
-from .ess import ess, rhat, mcse
+from .ess import ess, ess_bulk, ess_tail, rhat, rhat_rank, mcse
 
-__all__ = ["ess", "rhat", "mcse"]
+__all__ = ["ess", "ess_bulk", "ess_tail", "rhat", "rhat_rank", "mcse"]

@@ -75,3 +75,59 @@ def mcse(x: jax.Array) -> jax.Array:
     if x.ndim == 1:
         x = x[:, None]
     return jnp.std(x) / jnp.sqrt(ess(x))
+
+
+# -- rank-normalized diagnostics (Vehtari et al. 2021, §4.1-4.3) ------------
+#
+# The plain ess/rhat above match the classic formulas; the rank-normalized
+# variants below are the modern recommended defaults (what reference users
+# get from current MCMCChains/ArviZ downstream): robust to heavy tails and
+# nonlinear transformations because draws are replaced by normal quantiles
+# of their pooled ranks before the autocovariance analysis.
+
+
+def _rank_normalize(x: jax.Array) -> jax.Array:
+    """Fractional (average) ranks over all draws → standard-normal quantiles.
+
+    x: (N, C). Ranks are computed over the pooled N·C draws with the
+    Blom-style offset (r − 3/8)/(S + 1/4), then mapped through Φ⁻¹.
+    """
+    n, c = x.shape
+    s = n * c
+    flat = x.reshape(-1)
+    order = jnp.argsort(flat)
+    ranks = jnp.empty_like(flat).at[order].set(
+        jnp.arange(1, s + 1, dtype=x.dtype)
+    )
+    z = jax.scipy.special.ndtri((ranks - 0.375) / (s + 0.25))
+    return z.reshape(n, c)
+
+
+def ess_bulk(x: jax.Array) -> jax.Array:
+    """Bulk ESS: ESS of the rank-normalized draws (Vehtari 2021 eq. 14)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    return ess(_rank_normalize(x))
+
+
+def ess_tail(x: jax.Array, prob: float = 0.05) -> jax.Array:
+    """Tail ESS: min ESS of the {prob, 1−prob} quantile indicator draws —
+    sampling efficiency in the distribution tails (Vehtari 2021 §4.3)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    lo = jnp.quantile(x, prob)
+    hi = jnp.quantile(x, 1.0 - prob)
+    e_lo = ess((x <= lo).astype(jnp.float32))
+    e_hi = ess((x >= hi).astype(jnp.float32))
+    return jnp.minimum(e_lo, e_hi)
+
+
+def rhat_rank(x: jax.Array) -> jax.Array:
+    """Rank-normalized split-R̂: max of R̂ on the rank-normalized draws and
+    on the folded (|x − median|) rank-normalized draws (Vehtari 2021 §4.2)
+    — catches location *and* scale disagreement between chains."""
+    if x.ndim == 1:
+        x = x[:, None]
+    bulk = rhat(_rank_normalize(x))
+    folded = rhat(_rank_normalize(jnp.abs(x - jnp.median(x))))
+    return jnp.maximum(bulk, folded)

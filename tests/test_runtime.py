@@ -225,6 +225,36 @@ class TestDiagnostics:
         vs = list(q.values())
         assert all(a < b for a, b in zip(vs, vs[1:]))
 
+    def test_rank_normalized_diagnostics_iid(self):
+        from advancedmh_tpu import ess_bulk, ess_tail, rhat_rank
+
+        x = jax.random.normal(jax.random.key(5), (4000, 4))
+        n_total = 16000
+        assert 0.5 * n_total < float(ess_bulk(x)) < 1.6 * n_total
+        # tail ESS of iid draws is O(n) (indicator autocorrelation ~0)
+        assert float(ess_tail(x)) > 0.3 * n_total
+        assert abs(float(rhat_rank(x)) - 1.0) < 0.02
+
+    def test_rank_normalized_robust_to_heavy_tails(self):
+        """Cauchy draws break the plain moment-based ESS (infinite variance);
+        the rank-normalized bulk ESS still reads ~n — the point of
+        Vehtari 2021 rank normalization."""
+        from advancedmh_tpu import ess_bulk
+
+        x = jax.random.cauchy(jax.random.key(6), (4000, 4))
+        assert 0.4 * 16000 < float(ess_bulk(x)) < 1.7 * 16000
+
+    def test_rhat_rank_detects_scale_disagreement(self):
+        """Chains with equal means but different variances fool plain split-R̂
+        on the raw draws; the folded term in rhat_rank catches them."""
+        from advancedmh_tpu import rhat_rank
+
+        k = jax.random.key(7)
+        a = jax.random.normal(k, (2000, 2))
+        x = jnp.concatenate([a[:, :1], 5.0 * a[:, 1:]], axis=1)
+        assert float(rhat_rank(x)) > 1.2
+        assert abs(float(rhat(x)) - 1.0) < 0.25  # plain R̂ barely reacts
+
     def test_numpy_integer_seed(self):
         from advancedmh_tpu.utils import as_key
 
