@@ -76,8 +76,14 @@ class TestChunked:
         except Crash:
             pass
 
-        recovered = sample_chunked(MODEL, spl, 60, chunk_size=20,
-                                   checkpoint_dir=ckpt, resume=True, **kw)
+        executed = []  # resume must RUN only the post-crash chunk — a no-op
+        # resume that restarts from scratch would be bit-identical in output
+        # (deterministic keys), so output equality alone cannot catch it
+        recovered = sample_chunked(
+            MODEL, spl, 60, chunk_size=20, checkpoint_dir=ckpt, resume=True,
+            callback=lambda res, i: executed.append(i), **kw,
+        )
+        assert executed == [2]
         np.testing.assert_array_equal(
             np.asarray(full.transitions.lp), recovered.transitions.lp
         )

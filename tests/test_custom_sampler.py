@@ -26,15 +26,25 @@ class PCN(Sampler):
         x = (
             initial_params
             if initial_params is not None
-            else jax.random.normal(key, (2,))
+            else {
+                "a": jax.random.normal(jax.random.fold_in(key, 0), ()),
+                "b": jax.random.normal(jax.random.fold_in(key, 1), ()),
+            }
         )
         t = Transition(x, model.logdensity_fn(x), jnp.zeros((), bool))
         return t, t
 
     def step(self, key, state, model):
         k1, k2 = jax.random.split(key)
-        z = jax.tree_util.tree_map(
-            lambda x: jax.random.normal(k1, jnp.shape(x)), state.params
+        # one key per leaf — reusing k1 across equal-shaped leaves would give
+        # bit-identical noise and collapse proposals onto a diagonal subspace
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
+        z = jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jax.random.normal(k, jnp.shape(l))
+                for k, l in zip(jax.random.split(k1, len(leaves)), leaves)
+            ],
         )
         rho = jnp.sqrt(1.0 - self.beta**2)
         cand = jax.tree_util.tree_map(
@@ -50,24 +60,31 @@ class PCN(Sampler):
 
 
 def test_pcn_composes_with_runtime():
-    # Target: prior N(0, I) × likelihood N(x; [1, -1], 0.5² I)
-    # → posterior mean = μ_l/(σ_l² + 1) · 1 = [0.8, -0.8], var = 0.2.
-    mu_l = jnp.asarray([1.0, -1.0])
-
+    # Target: prior N(0, I) × likelihood a ~ N(1, 0.5²), b ~ N(−1, 0.5²)
+    # → posterior mean = μ_l/(σ_l² + 1) = ±0.8, var = 0.2. Params are a
+    # two-leaf dict on purpose: equal-shaped leaves expose any per-leaf key
+    # reuse in the proposal (identical noise → spuriously correlated draws).
     def loglik(x):
-        return jnp.sum(Normal(mu_l, 0.5).log_prob(x))
+        return Normal(1.0, 0.5).log_prob(x["a"]) + Normal(-1.0, 0.5).log_prob(
+            x["b"]
+        )
 
-    model = DensityModel(loglik, dimension=2)
-    chains = sample(
-        model, PCN(beta=0.3), 4000, key=0, num_chains=64,
-        discard_initial=500, chain_type="chains", param_names=["a", "b"],
+    model = DensityModel(loglik)
+    res = sample(
+        model, PCN(beta=0.3), 4000, key=0, num_chains=64, discard_initial=500,
     )
+    acc = float(np.asarray(res.transitions.accepted).mean())
+    assert 0.05 < acc < 0.95  # the sampler genuinely accepts AND rejects
+    chains = res.to_chains(param_names=["a", "b"])
     assert chains.n_chains == 64 and chains.n_samples == 4000
     post_mean = np.asarray([float(chains["a"].mean()), float(chains["b"].mean())])
     np.testing.assert_allclose(post_mean, [0.8, -0.8], atol=0.05)
     post_var = float(chains["a"].std()) ** 2
     assert abs(post_var - 0.2) < 0.05
-    acc = 0.0 < float(np.asarray(chains.lp).std())  # sanity: lp varies
-    assert acc
+    # the two coordinates are independent in the posterior: key reuse across
+    # leaves would make their increments identical and corr → 1
+    a = np.asarray(chains["a"]).ravel()
+    b = np.asarray(chains["b"]).ravel()
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.1
     s = chains.summary()
     assert s["a"]["ess"] > 1000 and 0.9 < s["a"]["rhat"] < 1.1

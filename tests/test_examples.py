@@ -2,9 +2,7 @@
 script in examples/ runs end-to-end at reduced size and its assertions hold."""
 import importlib.util
 import os
-import sys
 
-import pytest
 
 EXAMPLES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"

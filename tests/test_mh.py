@@ -20,7 +20,6 @@ from advancedmh_tpu import (
     Normal,
     RWMH,
     StaticMH,
-    StaticProposal,
     guarded_logdensity,
     sample,
 )

@@ -1,6 +1,5 @@
 """Multi-device (virtual 8-CPU mesh) tests: sharded emcee, graft entry."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -8,7 +8,6 @@ the vectorized path itself.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from advancedmh_tpu import (
     MALA,
@@ -41,18 +40,6 @@ class TestVectorizedMH:
         c_map = sample(MODEL, spl, 2000, key=1, vectorized=False, **kw)
         assert abs(float(c_vec["μ"].mean()) - float(c_map["μ"].mean())) < 0.05
         assert abs(float(c_vec["σ"].mean()) - float(c_map["σ"].mean())) < 0.05
-
-    def test_sharded_vectorized_equals_unsharded(self):
-        """With partitionable RNG the global batched program is
-        layout-invariant: sharding the chain axis must not change results."""
-        spl = StaticMH([Normal(0.0, 1.0), Normal(0.0, 1.0)])
-        r1 = sample(MODEL, spl, 50, key=2, num_chains=16)
-        r2 = sample(MODEL, spl, 50, key=2, num_chains=16,
-                    chain_method=MCMCDistributed())
-        np.testing.assert_allclose(
-            np.asarray(r1.transitions.lp), np.asarray(r2.transitions.lp),
-            rtol=1e-6,
-        )
 
     def test_vectorized_resume_bit_exact(self):
         spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
