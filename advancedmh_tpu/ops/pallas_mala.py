@@ -52,14 +52,15 @@ def _mala_kernel(
     pltpu.prng_seed(seed_ref[0, 0] + i * (n_groups + 1) + g_id)
 
     def value_and_grad(y):
-        # Tile density decouples over chains (lanes) → grad of the chain-sum
-        # is the per-chain gradient.
-        def total(ym):
-            return jnp.sum(logdensity_tile_fn(ym, *consts))
-
-        _, grad = jax.value_and_grad(total)(y)
-        # per-chain lp; XLA CSEs the shared forward pass with the grad trace
-        return logdensity_tile_fn(y, *consts), grad
+        # Tile density decouples over chains (lanes), so pulling back a
+        # ones-cotangent through vjp yields the per-chain gradient — and the
+        # per-chain lp comes from the same single forward pass (no reliance
+        # on the compiler CSE-ing a duplicated forward).
+        lp, pullback = jax.vjp(
+            lambda ym: logdensity_tile_fn(ym, *consts), y
+        )
+        (grad,) = pullback(jnp.ones_like(lp))
+        return lp, grad
 
     def normals():
         z, _ = _normal_pair((d, tc))
