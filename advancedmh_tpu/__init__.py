@@ -58,6 +58,8 @@ from .samplers import (
     RobustAdaptiveMetropolisState,
     Ensemble,
     StretchProposal,
+    ReplicaExchange,
+    swap_rates,
     Transition,
     GradientTransition,
     getparams,
@@ -96,7 +98,8 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "Ensemble", "StretchProposal", "Transition", "GradientTransition",
+    "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates",
+    "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
     "sample", "sample_chunked", "Schedule", "SamplingResult",

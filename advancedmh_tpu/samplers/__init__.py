@@ -11,6 +11,7 @@ from .mh import MetropolisHastings, StaticMH, RWMH
 from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .emcee import Ensemble, StretchProposal
+from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates
 
 __all__ = [
     "Sampler",
@@ -28,4 +29,7 @@ __all__ = [
     "RobustAdaptiveMetropolisState",
     "Ensemble",
     "StretchProposal",
+    "ReplicaExchange",
+    "ReplicaExchangeState",
+    "swap_rates",
 ]
