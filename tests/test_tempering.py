@@ -99,6 +99,20 @@ class TestReplicaExchange:
             np.cov(draws.T), [[1.0, 0.5], [0.5, 1.0]], atol=0.12
         )
 
+    def test_composes_with_sharded_chains(self):
+        """PT chains shard over the device mesh like any sampler (replica
+        axis stays on-device; zero collectives)."""
+        from advancedmh_tpu import MCMCDistributed
+
+        pt = ReplicaExchange(RWMH(Normal(0.0, 0.5)), betas=BETAS)
+        res = sample(
+            MODEL, pt, 500, key=4, num_chains=8,
+            chain_method=MCMCDistributed(), discard_initial=100,
+            initial_params=jnp.asarray(-5.0),
+        )
+        assert np.asarray(res.transitions.params).shape == (8, 500)
+        assert np.isfinite(np.asarray(res.transitions.lp)).all()
+
     def test_validation(self):
         inner = RWMH(Normal(0.0, 1.0))
         with pytest.raises(ValueError, match="cold"):
