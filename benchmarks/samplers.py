@@ -6,14 +6,24 @@ same static step count as the timed run).
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import json
 import time
 from functools import partial
 
 import jax
+
+# Env vars alone cannot select the CPU backend here (a sitecustomize hook
+# force-registers the TPU platform first); honor JAX_PLATFORMS=cpu
+# explicitly so the XLA-only CPU path is actually reachable.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
+
+from timing import best_of
 
 
 def _time_scan(step, state, n):
@@ -134,12 +144,7 @@ def bench_emcee_fused(W=16384, n=4000):
         s, lp, acc = run(x_t, lp0, seed)
         return float(lp[-1, 0, 0])
 
-    go(3)  # compile kernel + the scalar-read graph
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        go(4 + trial)
-        best = min(best, time.perf_counter() - t0)
+    best, _ = best_of(go)  # warm via go(0), 3 timed trials
     return W * n / best
 
 
@@ -168,12 +173,7 @@ def bench_mala_fused(C=16384, n=4000):
         s, lp, a = run(x_t, lp0, g0, seed)
         return _fence(lp[-1])
 
-    go(0)
-    best = float("inf")
-    for t in range(3):
-        t0 = time.perf_counter()
-        go(1 + t)
-        best = min(best, time.perf_counter() - t0)
+    best, _ = best_of(go)
     return C * n / best
 
 
@@ -202,12 +202,7 @@ def bench_ram_fused(C=16384, n=2000, d=2):
         s, lp, a, S = run(x_t, lp0, S0, seed)
         return _fence(lp[-1])
 
-    go(0)
-    best = float("inf")
-    for t in range(3):
-        t0 = time.perf_counter()
-        go(1 + t)
-        best = min(best, time.perf_counter() - t0)
+    best, _ = best_of(go)
     return C * 2 * n / best  # n warmup + n emitted steps per run
 
 
@@ -225,7 +220,8 @@ def main():
         ("emcee_fused", bench_emcee_fused),
     ] if on_tpu else []):
         out[name] = fn()
-        print(f"{name}: {out[name]/1e6:.1f} M chain-steps/s", flush=True)
+        unit = "walker-steps" if "emcee" in name else "chain-steps"
+        print(f"{name}: {out[name]/1e6:.1f} M {unit}/s", flush=True)
     print(json.dumps(out))
 
 

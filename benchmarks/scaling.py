@@ -2,9 +2,13 @@
 
 ≙ SURVEY.md §7.7: report samples/s/chip at 1 device vs N devices on the
 chains axis. On a single-chip environment this runs against the virtual CPU
-mesh (`--xla_force_host_platform_device_count`); on a pod slice it measures
-real ICI-sharded scaling. MH chains are embarrassingly parallel, so the
-target is ≥90% efficiency (BASELINE.md north star).
+mesh (`--xla_force_host_platform_device_count`) — there the numbers validate
+that the sharded program compiles and scales mechanically, but "efficiency"
+is NOT meaningful (virtual devices share the host's cores, so the 1-device
+baseline underuses the machine and ratios can read anywhere from 0.8 to
+>1). The ≥90% north star (BASELINE.md) is a *pod* metric: on a real slice
+each mesh entry is an independent chip and chains are embarrassingly
+parallel (zero hot-loop collectives).
 
 Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python benchmarks/scaling.py
@@ -26,30 +30,46 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 import jax.numpy as jnp
 
 
-def measure(num_devices: int, chains_per_device: int = 2048, n_steps: int = 200):
-    from advancedmh_tpu import MCMCDistributed, MvNormal, RWMH, sample
+def measure(num_devices: int, chains_per_device: int = 2048, n_steps: int = 2000):
+    """Steady-state chain-steps/s on a ``num_devices``-wide chains mesh.
+
+    The jitted program is built ONCE and the timed calls replay the compiled
+    executable — calling the ``sample()`` front-end per trial would re-trace
+    every time and the measurement would be compile-dominated. Timing is
+    fenced with a dependent scalar host read (block_until_ready can return
+    early on tunneled TPU backends, CLAUDE.md)."""
+    from advancedmh_tpu import MvNormal, RWMH
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
-    from advancedmh_tpu.parallel import make_mesh
+    from advancedmh_tpu.parallel import chain_sharding, make_mesh
+    from advancedmh_tpu.runtime.sample import build_chain_fn
+    from advancedmh_tpu.runtime.schedule import Schedule
 
     model = gaussian_mean_scale_model()
     spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
     mesh = make_mesh(n_devices=num_devices, axis="chains")
     C = chains_per_device * num_devices
 
-    def run():
-        res = sample(
-            model, spl, 2, key=0, num_chains=C,
-            chain_method=MCMCDistributed(mesh=mesh),
-            discard_initial=n_steps,
-            initial_params=jnp.asarray([0.0, 1.0]),
-        )
-        jax.block_until_ready(res.transitions.lp)
+    schedule = Schedule(
+        n_samples=1, num_warmup=0, discard_initial=n_steps, thinning=1
+    )
+    chain_fn = build_chain_fn(
+        spl, model, schedule, batch_shape=(C,),
+        state_sharding=chain_sharding(mesh, "chains"),
+    )
+    fn = jax.jit(lambda k: chain_fn(k, jnp.asarray([0.0, 1.0])))
+    key = jax.random.key(0)
 
-    run()  # compile
-    t0 = time.perf_counter()
-    run()
-    dt = time.perf_counter() - t0
-    return C * (n_steps + 1) / dt
+    def run():
+        out, _ = fn(key)
+        return float(out.lp[0, 0])  # scalar-read fence
+
+    run()  # compile once; subsequent calls replay the executable
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return C * n_steps / best
 
 
 def main():

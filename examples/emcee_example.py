@@ -16,7 +16,11 @@ N_SAMPLES = int(os.environ.get("N_SAMPLES", 1000))
 ENGINE = os.environ.get("ENGINE", "xla")  # ENGINE=fused → Pallas kernel (TPU)
 
 if ENGINE == "fused" and N_WALKERS % 256 != 0:
-    N_WALKERS = 1024  # fused half-ensembles must align to 128 vector lanes
+    print(
+        f"ENGINE=fused needs n_walkers as a multiple of 256 (half-ensembles "
+        f"align to 128 vector lanes); coercing N_WALKERS {N_WALKERS} -> 1024"
+    )
+    N_WALKERS = 1024
 
 
 def main():

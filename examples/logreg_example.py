@@ -31,10 +31,19 @@ def main():
     model = logistic_regression_model(n_obs=N_OBS, dim=DIM, seed=3)
 
     # MAP by gradient ascent (the log-posterior is strictly concave).
-    beta = jnp.zeros(DIM, jnp.float32)
-    for _ in range(500):
-        _, g = model.logdensity_and_gradient_fn(beta)
-        beta = beta + 0.05 * g
+    # One jitted fori_loop = one device dispatch, not 500 (each eager call
+    # through a remote-device tunnel costs a round trip).
+    import jax
+
+    @jax.jit
+    def map_ascent(beta0):
+        def body(_, b):
+            _, g = model.logdensity_and_gradient_fn(b)
+            return b + 0.05 * g
+
+        return jax.lax.fori_loop(0, 500, body, beta0)
+
+    beta = map_ascent(jnp.zeros(DIM, jnp.float32))
 
     step2 = 0.08 * 8.0 / DIM  # rough 1/d step-size scaling
     chain = sample(
