@@ -60,6 +60,9 @@ from .samplers import (
     StretchProposal,
     ReplicaExchange,
     swap_rates,
+    AdaptiveMetropolis,
+    AdaptiveMetropolisState,
+    MultipleTryMetropolis,
     Transition,
     GradientTransition,
     getparams,
@@ -99,6 +102,7 @@ __all__ = [
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
     "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates",
+    "AdaptiveMetropolis", "AdaptiveMetropolisState", "MultipleTryMetropolis",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

@@ -12,6 +12,8 @@ from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .emcee import Ensemble, StretchProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates
+from .am import AdaptiveMetropolis, AdaptiveMetropolisState
+from .mtm import MultipleTryMetropolis
 
 __all__ = [
     "Sampler",
@@ -32,4 +34,7 @@ __all__ = [
     "ReplicaExchange",
     "ReplicaExchangeState",
     "swap_rates",
+    "AdaptiveMetropolis",
+    "AdaptiveMetropolisState",
+    "MultipleTryMetropolis",
 ]
