@@ -2,6 +2,7 @@ from .cholesky import chol_rank1_update, chol_rank1_update_batched
 from .pallas_emcee import fused_emcee_sample
 from .pallas_mala import fused_mala_sample
 from .pallas_mh import fused_rwmh, fused_rwmh_sample, tile_fn_from_batched
+from .pallas_mtm import fused_mtm, fused_mtm_sample
 from .pallas_ram import fused_ram_sample
 
 __all__ = [
@@ -11,6 +12,8 @@ __all__ = [
     "fused_mala_sample",
     "fused_rwmh",
     "fused_rwmh_sample",
+    "fused_mtm",
+    "fused_mtm_sample",
     "fused_ram_sample",
     "tile_fn_from_batched",
 ]

@@ -440,8 +440,11 @@ def sample_fused(
     mesh_axis: str = "chains",
 ):
     """Run the fused Pallas sampling engine; returns the raw pieces in the
-    standard (chains, samples, ...) layout."""
+    standard (chains, samples, ...) layout. Dispatches the MTM variant
+    (ops/pallas_mtm.py) when the sampler is a MultipleTryMetropolis."""
     from ..ops.pallas_mh import fused_rwmh_sample
+    from ..ops.pallas_mtm import fused_mtm_sample
+    from ..samplers.mtm import MultipleTryMetropolis
 
     d = model.dimension
     if d is None:
@@ -451,10 +454,16 @@ def sample_fused(
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_rwmh_sample(
-        tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
-        thin=thinning, consts=consts, tile_chains=tile,
-    )
+    if isinstance(sampler, MultipleTryMetropolis):
+        run = fused_mtm_sample(
+            tile_fn, d=d, scale=scale, k=sampler.k, n_samples=n_samples,
+            burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+        )
+    else:
+        run = fused_rwmh_sample(
+            tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
+            thin=thinning, consts=consts, tile_chains=tile,
+        )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)

@@ -103,6 +103,71 @@ def bench_ram_warmup(C=16384, n=2000, d=2):
     return C * n / _time_scan(step, state, n)
 
 
+def bench_mtm(C=16384, n=1000, k=4):
+    from advancedmh_tpu import (
+        MultipleTryMetropolis, MvNormal, RandomWalkProposal, Transition,
+    )
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = MultipleTryMetropolis(
+        RandomWalkProposal(MvNormal(jnp.zeros(2), scale=0.2)), k=k
+    )
+    master = jax.random.key(0)
+    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (C, 1))
+    state = Transition(params, jax.vmap(model.logdensity_fn)(params),
+                       jnp.zeros((C,), bool))
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_am(C=16384, n=2000):
+    from advancedmh_tpu import AdaptiveMetropolis
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+    model = correlated_gaussian_model(
+        jnp.asarray([[1.5, 0.35], [0.35, 1.0]])
+    )
+    spl = AdaptiveMetropolis()
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(
+        jax.vmap(lambda k: spl.init(k, model, jnp.zeros(2)))
+    )(keys)
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_mtm_fused(C=16384, n=2000, k=4):
+    """Fused Pallas MTM engine (TPU only): 2k−1 in-VMEM density evals/step."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_mtm
+
+    model = gaussian_mean_scale_model()
+    run = fused_mtm(
+        model.tile_density, d=2, scale=0.2, k=k, n_steps=n,
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
+
+    def go(seed):
+        out = run(params, lp0, seed)
+        return _fence(out[2])
+
+    go(0)
+    best = float("inf")
+    for t in range(2):
+        t0 = time.perf_counter()
+        go(1 + t)
+        best = min(best, time.perf_counter() - t0)
+    return C * n / best
+
+
 def bench_emcee(W=16384, n=2000):
     from advancedmh_tpu import Ensemble, InverseGamma, Normal, StretchProposal
     from advancedmh_tpu.models.targets import emcee_demo_model
@@ -214,10 +279,13 @@ def main():
         ("mala", bench_mala),
         ("ram_warmup", bench_ram_warmup),
         ("emcee", bench_emcee),
+        ("mtm", bench_mtm),
+        ("am", bench_am),
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("ram_fused", bench_ram_fused),
         ("emcee_fused", bench_emcee_fused),
+        ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):
         out[name] = fn()
         unit = "walker-steps" if "emcee" in name else "chain-steps"
