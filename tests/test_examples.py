@@ -48,3 +48,7 @@ def test_logreg_example():
         "logreg_example",
         {"DIM": "8", "N_OBS": "128", "N_SAMPLES": "1500", "NUM_CHAINS": "32"},
     )
+
+
+def test_tempering_example():
+    _run("tempering_example", {"N_SAMPLES": "4000", "NUM_CHAINS": "16"})
