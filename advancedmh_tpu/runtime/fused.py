@@ -272,6 +272,96 @@ def sample_fused_ram(
     return transitions, final_state
 
 
+def sample_fused_am(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    initial_state=None,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused Adaptive-Metropolis engine (ops/pallas_am.py): mixture proposal
+    + exact Welford Cholesky-factor covariance adaptation, VMEM-resident.
+    Adaptation continues through every step (the AM ergodicity contract), so
+    resume (``initial_state`` via ``sample_chunked``) carries (mean, L, n)
+    straight back into the kernel — unlike RAM there is no frozen phase."""
+    import math as _math
+
+    from ..ops.pallas_am import fused_am_sample
+    from ..samplers.am import AdaptiveMetropolisState
+
+    if initial_params is None:
+        raise ValueError("engine='fused' requires initial_params")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    # state rows per chain: x(d) + mean(d) + L(d²) + lp + n — derate the tile
+    # like MALA's gradient scratch.
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
+    )
+
+    run = fused_am_sample(
+        tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
+        beta=sampler.beta, fixed_scale=sampler.fixed_scale,
+        opt_scale=sampler.opt_scale, adapt_start=sampler.adapt_start,
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    if initial_state is not None:  # per-chain adapted moments (C, ...)
+        mean0 = jnp.asarray(initial_state.mean, jnp.float32).T  # (d, C)
+        L0 = jnp.transpose(
+            jnp.asarray(initial_state.L, jnp.float32), (1, 2, 0)
+        ).reshape(d * d, num_chains)
+        n0 = jnp.asarray(
+            initial_state.iteration, jnp.float32
+        ).reshape(1, num_chains)
+    else:
+        mean0 = x_t
+        L0 = (
+            (sampler.fixed_scale / _math.sqrt(d))
+            * jnp.eye(d, dtype=jnp.float32)
+        ).reshape(d * d, 1)
+        L0 = jnp.broadcast_to(L0, (d * d, num_chains))
+        n0 = jnp.ones((1, num_chains), jnp.float32)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, mean_f, L_f, n_f = run(x_t, lp0, mean0, L0, n0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    C = num_chains
+    final_state = AdaptiveMetropolisState(
+        x=params[:, -1, :],
+        logprob=lp[:, -1],
+        mean=mean_f.T,
+        L=jnp.transpose(L_f.reshape(d, d, C), (2, 0, 1)),
+        iteration=n_f[0].astype(jnp.int32),
+        isaccept=accepted[:, -1],
+    )
+    return transitions, final_state
+
+
 def sample_fused_mala(
     model,
     sampler,

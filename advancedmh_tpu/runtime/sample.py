@@ -342,11 +342,13 @@ def sample(
     master = as_key(key)
 
     if engine == "fused":
+        from ..samplers.am import AdaptiveMetropolis as _AM
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.mala import MALA as _MALA
         from ..samplers.ram import RobustAdaptiveMetropolis
         from .fused import (
             sample_fused,
+            sample_fused_am,
             sample_fused_emcee,
             sample_fused_mala,
             sample_fused_ram,
@@ -377,10 +379,14 @@ def sample(
         offset = iteration_offset or 0
         fkey = jax.random.fold_in(master, offset) if offset else master
         resume_S = None
+        resume_am = None
         if initial_state is not None:
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
                 resume_S = initial_state.S
+            elif isinstance(sampler, _AM):
+                initial_params = initial_state.x
+                resume_am = initial_state
             else:
                 initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
@@ -407,6 +413,15 @@ def sample(
                 thinning=schedule.thinning,
                 initial_S=resume_S,
                 iteration_offset=offset,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _AM):
+            transitions, final_state = sample_fused_am(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                initial_state=resume_am,
                 **mesh_kw,
             )
         elif isinstance(sampler, _MALA):

@@ -242,6 +242,37 @@ def bench_mala_fused(C=16384, n=4000):
     return C * n / best
 
 
+def bench_am_fused(C=16384, n=2000, d=2):
+    """Fused AM engine (TPU only): mixture proposal + Welford Cholesky
+    adaptation on every step, every draw emitted."""
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+    from advancedmh_tpu.ops import fused_am_sample
+
+    cov = np.eye(d, dtype=np.float32)
+    cov[0, 1] = cov[1, 0] = 0.5
+    model = correlated_gaussian_model(cov)
+    run = fused_am_sample(
+        model.tile_density, d=d, n_samples=n, burn=0,
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.zeros((d, C), jnp.float32)
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    mean0 = x_t
+    L0 = jnp.broadcast_to(
+        (0.1 / np.sqrt(d)) * jnp.eye(d, dtype=jnp.float32).reshape(d * d, 1),
+        (d * d, C),
+    )
+    n0 = jnp.ones((1, C), jnp.float32)
+
+    def go(seed):
+        s, lp, a, m, L, cnt = run(x_t, lp0, mean0, L0, n0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_ram_fused(C=16384, n=2000, d=2):
     """Fused RAM engine (TPU only): the standard 50/50 schedule — n adaptive
     warmup steps then n frozen-S emitted draws (the mix the README table
@@ -284,6 +315,7 @@ def main():
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("ram_fused", bench_ram_fused),
+        ("am_fused", bench_am_fused),
         ("emcee_fused", bench_emcee_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):

@@ -96,6 +96,57 @@ class TestFusedRWMH:
         corr = SS[0, 1] / np.sqrt(SS[0, 0] * SS[1, 1])
         assert abs(corr - 0.5) < 0.1
 
+    def test_sample_engine_fused_am(self):
+        """Fused AM engine: RR09 mixture + Welford Cholesky adaptation
+        recovers the correlated target and learns its covariance shape."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import AdaptiveMetropolis, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, AdaptiveMetropolis(), 4000, key=9, num_chains=2048,
+            engine="fused", discard_initial=4000,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.1, atol=0.05)
+        # the learned covariance factor reproduces the target's shape
+        L = np.asarray(res.final_state.L)  # (C, 2, 2)
+        LL = np.einsum("cij,ckj->cik", L, L).mean(0)
+        corr = LL[0, 1] / np.sqrt(LL[0, 0] * LL[1, 1])
+        assert abs(corr - 0.5) < 0.1
+        # iteration count advanced by exactly burn + N·thin steps (+1 init)
+        n_final = np.asarray(res.final_state.iteration)
+        assert int(n_final[0]) == 1 + (4000 - 1) + 4000
+
+    def test_chunked_fused_am_resume(self):
+        """Chunked fused AM: moments (mean, L, n) survive the chunk boundary
+        so adaptation continues seamlessly across chunks."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import AdaptiveMetropolis
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample_chunked(
+            model, AdaptiveMetropolis(), 4000, chunk_size=2000,
+            key=9, num_chains=2048, engine="fused", discard_initial=2000,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.15, atol=0.05)
+        # exact count across the chunk boundary (adaptation never reset):
+        # chunk 1: 1 init + 1999 burn + 2000 emits; chunk 2: +2000 emits
+        n_final = np.asarray(res.final_state.iteration)
+        assert int(n_final[0]) == 6000
+
     def test_sample_engine_fused_mala(self):
         """Fused Langevin-MALA: covariance recovery on the quadratic density
         (≙ reference issue #95 tolerances) with in-kernel gradients."""
