@@ -62,6 +62,7 @@ from .samplers import (
     swap_rates,
     AdaptiveMetropolis,
     AdaptiveMetropolisState,
+    Barker,
     MultipleTryMetropolis,
     Transition,
     GradientTransition,
@@ -102,7 +103,8 @@ __all__ = [
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
     "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates",
-    "AdaptiveMetropolis", "AdaptiveMetropolisState", "MultipleTryMetropolis",
+    "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
+    "MultipleTryMetropolis",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

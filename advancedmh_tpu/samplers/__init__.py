@@ -13,6 +13,7 @@ from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .emcee import Ensemble, StretchProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
+from .barker import Barker
 from .mtm import MultipleTryMetropolis
 
 __all__ = [
@@ -36,5 +37,6 @@ __all__ = [
     "swap_rates",
     "AdaptiveMetropolis",
     "AdaptiveMetropolisState",
+    "Barker",
     "MultipleTryMetropolis",
 ]

@@ -142,6 +142,23 @@ def bench_am(C=16384, n=2000):
     return C * n / _time_scan(step, state, n)
 
 
+def bench_barker(C=16384, n=4000):
+    from advancedmh_tpu import Barker
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = Barker(step_size=0.05)
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
 def bench_mtm_fused(C=16384, n=2000, k=4):
     """Fused Pallas MTM engine (TPU only): 2k−1 in-VMEM density evals/step."""
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
@@ -312,6 +329,7 @@ def main():
         ("emcee", bench_emcee),
         ("mtm", bench_mtm),
         ("am", bench_am),
+        ("barker", bench_barker),
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("ram_fused", bench_ram_fused),
