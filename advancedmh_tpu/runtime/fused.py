@@ -434,6 +434,164 @@ def sample_fused_mala(
     return transitions, final_state
 
 
+def sample_fused_barker(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 2048,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused Barker engine (ops/pallas_barker.py): gradient-skewed random
+    walk with in-kernel ``jax.vjp`` gradients, same carry structure as the
+    fused MALA engine (gradient cached in scratch between steps)."""
+    from ..ops.pallas_barker import fused_barker_sample
+    from ..samplers.base import GradientTransition
+
+    if initial_params is None:
+        raise ValueError("please specify initial parameters")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
+    )
+
+    run = fused_barker_sample(
+        tile_fn, d=d, step_size=sampler.step_size, n_samples=n_samples,
+        burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, g0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    grad_last_t = jax.grad(
+        lambda xm: jnp.sum(tile_fn(xm, *const_args))
+    )(jnp.transpose(params[:, -1, :]))  # (d, C)
+    transitions = Transition(params, lp, accepted)
+    final_state = GradientTransition(
+        params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t),
+        accepted[:, -1],
+    )
+    return transitions, final_state
+
+
+def sample_fused_tempering(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    initial_state=None,
+    iteration_offset: int = 0,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused replica-exchange engine (ops/pallas_tempering.py): the whole
+    temperature ladder — K tempered RWMH replicas + even-odd swaps — runs
+    VMEM-resident per chain. Requires the inner sampler to be a symmetric
+    Gaussian random-walk ``MetropolisHastings`` with scalar/diagonal scale
+    (the fused-introspectable family); emissions are the cold replica."""
+    from ..ops.pallas_tempering import fused_tempering_sample
+    from ..samplers.base import Transition as _T
+    from ..samplers.tempering import ReplicaExchangeState
+
+    if initial_params is None and initial_state is None:
+        raise ValueError("engine='fused' requires initial_params")
+    K = len(sampler.betas)
+    betas = np.asarray(sampler.betas, np.float32)
+    d = model.dimension
+    if d is None:
+        src = initial_params if initial_params is not None else (
+            initial_state.inner.params
+        )
+        d = int(np.asarray(src).shape[-1])
+    scale = _extract_rw_scale(sampler.sampler, d)
+    if scale.ndim == 2:
+        raise ValueError(
+            "engine='fused' tempering supports scalar/diagonal proposal "
+            "scales (scale_tril ladders: use the XLA path)."
+        )
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+
+    run = fused_tempering_sample(
+        tile_fn, d=d, betas=sampler.betas, scale=scale,
+        n_samples=n_samples, burn=burn, thin=thinning,
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    if initial_state is not None:
+        # inner Transition leaves are (C, K, ...): rebuild the ladder stack
+        xs = jnp.asarray(initial_state.inner.params, jnp.float32)  # (C,K,d)
+        x_t = jnp.transpose(xs, (1, 2, 0)).reshape(K * d, num_chains)
+        lp_in = jnp.asarray(initial_state.inner.lp, jnp.float32)  # (C,K)
+        ell0 = (lp_in / betas[None, :]).T  # raw ℓ rows (K,C)
+        sw_acc0 = jnp.asarray(initial_state.swap_accept_count, jnp.float32)
+        sw_prop0 = jnp.asarray(initial_state.swap_proposal_count, jnp.float32)
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        one = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+        x_t = jnp.tile(one, (K, 1))
+        ell_one = tile_fn(one, *const_args)  # (1, C)
+        ell0 = jnp.broadcast_to(ell_one, (K, num_chains))
+        sw_acc0 = jnp.zeros((num_chains, K - 1), jnp.float32)
+        sw_prop0 = jnp.zeros((num_chains, K - 1), jnp.float32)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, x_f, ell_f, sw = run(x_t, ell0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    C = num_chains
+    ladder_x = jnp.transpose(x_f.reshape(K, d, C), (2, 0, 1))  # (C,K,d)
+    ladder_lp = (ell_f * betas[:, None]).T  # tempered lp (C,K)
+    inner_acc = jnp.zeros((C, K), bool).at[:, 0].set(accepted[:, -1])
+    steps_taken = burn + n_samples * thinning
+    final_state = ReplicaExchangeState(
+        inner=_T(ladder_x, ladder_lp, inner_acc),
+        swap_accept_count=sw_acc0 + sw.T,
+        swap_proposal_count=sw_prop0 + jnp.float32(steps_taken),
+    )
+    return transitions, final_state
+
+
 def sample_fused_emcee(
     model,
     sampler,

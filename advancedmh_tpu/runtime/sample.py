@@ -343,15 +343,19 @@ def sample(
 
     if engine == "fused":
         from ..samplers.am import AdaptiveMetropolis as _AM
+        from ..samplers.barker import Barker as _Barker
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.mala import MALA as _MALA
         from ..samplers.ram import RobustAdaptiveMetropolis
+        from ..samplers.tempering import ReplicaExchange as _RE
         from .fused import (
             sample_fused,
             sample_fused_am,
+            sample_fused_barker,
             sample_fused_emcee,
             sample_fused_mala,
             sample_fused_ram,
+            sample_fused_tempering,
         )
 
         if collect_states:
@@ -380,6 +384,7 @@ def sample(
         fkey = jax.random.fold_in(master, offset) if offset else master
         resume_S = None
         resume_am = None
+        resume_re = None
         if initial_state is not None:
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
@@ -387,6 +392,8 @@ def sample(
             elif isinstance(sampler, _AM):
                 initial_params = initial_state.x
                 resume_am = initial_state
+            elif isinstance(sampler, _RE):
+                resume_re = initial_state
             else:
                 initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
@@ -422,6 +429,23 @@ def sample(
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
                 initial_state=resume_am,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _RE):
+            transitions, final_state = sample_fused_tempering(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                initial_state=resume_re,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _Barker):
+            transitions, final_state = sample_fused_barker(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
                 **mesh_kw,
             )
         elif isinstance(sampler, _MALA):

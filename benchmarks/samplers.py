@@ -259,6 +259,29 @@ def bench_mala_fused(C=16384, n=4000):
     return C * n / best
 
 
+def bench_barker_fused(C=16384, n=4000):
+    """Fused Barker engine (TPU only), every draw emitted."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_barker_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_barker_sample(
+        model.tile_density, d=2, step_size=0.05, n_samples=n, burn=0,
+        thin=1, consts=model.tile_consts, tile_chains=2048,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *ca)))(x_t)
+
+    def go(seed):
+        s, lp, a = run(x_t, lp0, g0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_am_fused(C=16384, n=2000, d=2):
     """Fused AM engine (TPU only): mixture proposal + Welford Cholesky
     adaptation on every step, every draw emitted."""
@@ -288,6 +311,33 @@ def bench_am_fused(C=16384, n=2000, d=2):
 
     best, _ = best_of(go)
     return C * n / best
+
+
+def bench_tempering_fused(C=16384, n=1000, K=5):
+    """Fused replica-exchange engine (TPU only): K tempered RWMH replicas +
+    even-odd swaps per chain per step (K·n densities per chain counted as
+    replica-steps)."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_tempering_sample
+
+    model = gaussian_mean_scale_model()
+    betas = tuple(float(b) for b in np.geomspace(1.0, 0.05, K))
+    run = fused_tempering_sample(
+        model.tile_density, d=2, betas=betas, scale=0.1, n_samples=n,
+        burn=0, thin=1, consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (K, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    ell0 = jnp.broadcast_to(
+        model.tile_density(x_t[:2], *ca), (K, C)
+    )
+
+    def go(seed):
+        s, lp, a, xf, ef, sw = run(x_t, ell0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * K * n / best  # replica-steps/s
 
 
 def bench_ram_fused(C=16384, n=2000, d=2):
@@ -334,6 +384,8 @@ def main():
         ("mala_fused", bench_mala_fused),
         ("ram_fused", bench_ram_fused),
         ("am_fused", bench_am_fused),
+        ("barker_fused", bench_barker_fused),
+        ("tempering_fused", bench_tempering_fused),
         ("emcee_fused", bench_emcee_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):

@@ -172,6 +172,34 @@ class TestFusedRWMH:
         want = -(np.linalg.inv(SIG) @ x.T).T
         np.testing.assert_allclose(grad, want, rtol=1e-3, atol=1e-3)
 
+    def test_sample_engine_fused_barker(self):
+        """Fused Barker: covariance recovery on the quadratic density with
+        in-kernel gradients and the softplus Hastings correction."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import Barker, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, Barker(step_size=0.9), 4000, key=13, num_chains=2048,
+            engine="fused", discard_initial=1000,
+            initial_params=jnp.ones(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.05)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.1)
+        # acceptance in the healthy Barker band at this step size
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert 0.3 < acc < 0.9
+        # resume state carries a valid gradient
+        grad = np.asarray(res.final_state.gradient)
+        x = np.asarray(res.final_state.params)
+        want = -(np.linalg.inv(SIG) @ x.T).T
+        np.testing.assert_allclose(grad, want, rtol=1e-3, atol=1e-3)
+
     def test_sample_engine_fused_emcee(self):
         """Fused emcee engine: MXU one-hot partner gather recovers the
         analytic posterior means s̄ = 49/24, m̄ = 7/6 (≙ test/emcee.jl) and
@@ -378,6 +406,101 @@ class TestFusedRWMH:
         p1, l1, a1 = run(params, lp0, 3)
         p2, l2, a2 = run(params, lp0, 3)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+@requires_tpu
+class TestFusedTempering:
+    """Fused replica-exchange engine (ops/pallas_tempering.py)."""
+
+    @staticmethod
+    def _bimodal_model():
+        """Equal mixture of N(−5,1), N(+5,1) in Mosaic-safe jnp ops
+        (manual logsumexp — no logaddexp/log1p lowering)."""
+        import math
+
+        import jax.numpy as jnp
+
+        from advancedmh_tpu import DensityModel
+
+        def batched(X):  # (C, 1) -> (C,)
+            x = X[:, 0]
+            a = -0.5 * (x + 5.0) ** 2
+            b = -0.5 * (x - 5.0) ** 2
+            m = jnp.maximum(a, b)
+            return (
+                m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+                - jnp.float32(math.log(2.0) + 0.5 * math.log(2.0 * math.pi))
+            )
+
+        return DensityModel(
+            lambda x: batched(jnp.reshape(x, (1, 1)))[0],
+            logdensity_batched_fn=batched,
+            dimension=1,
+        )
+
+    def test_bimodal_mode_hopping(self):
+        """The fused ladder crosses the 8σ barrier (≙ the XLA tempering
+        test) and the cold-chain lp is the untempered density."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import (
+            Normal, ReplicaExchange, RWMH, sample, swap_rates,
+        )
+
+        model = self._bimodal_model()
+        pt = ReplicaExchange(
+            RWMH(Normal(0.0, 0.5)), betas=(1.0, 0.55, 0.3, 0.15, 0.05)
+        )
+        res = sample(
+            model, pt, 4000, key=0, num_chains=1024, engine="fused",
+            discard_initial=500, initial_params=jnp.asarray([-5.0]),
+        )
+        draws = np.asarray(res.transitions.params)[..., 0]  # (C, N)
+        frac_right = (draws > 0).mean(axis=1)
+        assert 0.3 < float(frac_right.mean()) < 0.7
+        assert (frac_right > 0.02).mean() > 0.95  # chains cross the barrier
+        assert abs(float(draws.mean())) < 1.0
+        # cold-chain lp is the raw (untempered) log density
+        lp = np.asarray(res.transitions.lp)
+        want = np.asarray(
+            jax.vmap(model.logdensity_fn)(
+                jnp.asarray(draws.reshape(-1, 1))
+            )
+        ).reshape(lp.shape)
+        np.testing.assert_allclose(lp, want, rtol=1e-4, atol=1e-4)
+        # swap bookkeeping: rates observed in (0, 1)
+        rates = np.asarray(swap_rates(res.final_state))  # (C, K-1)
+        assert rates.shape == (1024, 4)
+        assert (rates > 0.0).all() and (rates < 1.0).all()
+
+    def test_chunked_fused_tempering_resume(self):
+        """The whole ladder state (positions, raw ℓ, swap counts) survives
+        the chunk boundary."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import Normal, ReplicaExchange, RWMH, swap_rates
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        model = self._bimodal_model()
+        pt = ReplicaExchange(
+            RWMH(Normal(0.0, 0.5)), betas=(1.0, 0.55, 0.3, 0.15, 0.05)
+        )
+        res = sample_chunked(
+            model, pt, 4000, chunk_size=2000, key=1, num_chains=1024,
+            engine="fused", discard_initial=500,
+            initial_params=jnp.asarray([-5.0]),
+        )
+        draws = np.asarray(res.transitions.params)[..., 0]
+        frac_right = (draws > 0).mean(axis=1)
+        assert 0.3 < float(frac_right.mean()) < 0.7
+        # proposal counts accumulated across both chunks:
+        # chunk 1: 499 burn + 2000 emits; chunk 2: 2000 emits
+        prop = np.asarray(res.final_state.swap_proposal_count)
+        assert int(prop[0, 0]) == 499 + 2000 + 2000
+        rates = np.asarray(swap_rates(res.final_state))
+        assert (rates > 0.0).all() and (rates < 1.0).all()
 
 
 @requires_tpu
