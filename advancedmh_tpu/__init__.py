@@ -60,6 +60,7 @@ from .samplers import (
     StretchProposal,
     ReplicaExchange,
     swap_rates,
+    tune_betas,
     AdaptiveMetropolis,
     AdaptiveMetropolisState,
     Barker,
@@ -102,7 +103,7 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates",
+    "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
     "MultipleTryMetropolis",
     "Transition", "GradientTransition",

@@ -546,6 +546,7 @@ def sample_fused_tempering(
     run = fused_tempering_sample(
         tile_fn, d=d, betas=sampler.betas, scale=scale,
         n_samples=n_samples, burn=burn, thin=thinning,
+        replica_scales=sampler.replica_scales,
         consts=consts, tile_chains=tile,
     )
     if mesh is not None:

@@ -11,7 +11,7 @@ from .mh import MetropolisHastings, StaticMH, RWMH
 from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .emcee import Ensemble, StretchProposal
-from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates
+from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
 from .mtm import MultipleTryMetropolis
@@ -35,6 +35,7 @@ __all__ = [
     "ReplicaExchange",
     "ReplicaExchangeState",
     "swap_rates",
+    "tune_betas",
     "AdaptiveMetropolis",
     "AdaptiveMetropolisState",
     "Barker",

@@ -49,6 +49,7 @@ class ReplicaExchange(Sampler):
 
     sampler: Sampler
     betas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
+    replica_scales: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
         if len(self.betas) < 2:
@@ -59,11 +60,62 @@ class ReplicaExchange(Sampler):
             raise ValueError("betas must be strictly descending")
         if any(b <= 0 for b in self.betas):
             raise ValueError("betas must be positive")
+        if self.replica_scales is not None:
+            rs = tuple(float(c) for c in self.replica_scales)
+            if len(rs) != len(self.betas):
+                raise ValueError(
+                    "replica_scales must match betas "
+                    f"({len(rs)} vs {len(self.betas)})"
+                )
+            if any(c <= 0 for c in rs):
+                raise ValueError("replica_scales must be positive")
+            object.__setattr__(self, "replica_scales", rs)
+            self._scaled_inner(1.0)  # validate the inner sampler eagerly
+
+    @staticmethod
+    def geometric_scales(betas) -> Tuple[float, ...]:
+        """The standard β^{-1/2} step-size ladder: a replica tempered to β
+        targets a distribution whose scale grows like β^{-1/2} (exactly so
+        for Gaussians), so hotter replicas should take proportionally larger
+        steps to hold their acceptance rate."""
+        return tuple(float(b) ** -0.5 for b in betas)
 
     # -- helpers -------------------------------------------------------------
 
     def _betas(self):
         return jnp.asarray(self.betas, jnp.float32)
+
+    def _scaled_inner(self, c: float) -> Sampler:
+        """The inner sampler with its random-walk scale multiplied by ``c``
+        (requires a Gaussian-RW ``MetropolisHastings`` inner — the only
+        family where 'scale' has one unambiguous meaning)."""
+        from ..distributions import MvNormal as _MvN, Normal as _N
+        from ..proposals import RandomWalkProposal
+        from .mh import MetropolisHastings
+
+        spl = self.sampler
+        p = getattr(spl, "proposal", None)
+        payload = getattr(p, "payload", None)
+        if not (
+            isinstance(spl, MetropolisHastings)
+            and isinstance(p, RandomWalkProposal)
+            and isinstance(payload, (_N, _MvN))
+        ):
+            raise ValueError(
+                "replica_scales requires a Gaussian random-walk "
+                "MetropolisHastings inner sampler"
+            )
+        if isinstance(payload, _N):
+            newp = _N(payload.loc, payload.scale * c)
+        elif payload.scale_tril is not None:
+            newp = _MvN(payload.loc, scale_tril=payload.scale_tril * c)
+        elif payload.scale_diag is not None:
+            newp = _MvN(payload.loc, scale_diag=payload.scale_diag * c)
+        else:
+            newp = _MvN(payload.loc, scale=payload.scale * c)
+        return dataclasses.replace(
+            spl, proposal=dataclasses.replace(p, payload=newp)
+        )
 
     def _tempered_step(self, model):
         base_ld = as_model(model).logdensity_fn
@@ -74,6 +126,26 @@ class ReplicaExchange(Sampler):
             return s
 
         return step_one
+
+    def _inner_steps(self, model, keys, inner, betas):
+        """One tempered step of every replica: a single vmap when all
+        replicas share the inner sampler, or a statically-unrolled loop of
+        per-replica scaled samplers when ``replica_scales`` is set."""
+        if self.replica_scales is None:
+            return jax.vmap(self._tempered_step(model))(keys, inner, betas)
+        base_ld = as_model(model).logdensity_fn
+        K = len(self.betas)
+        outs = []
+        for k in range(K):
+            beta = float(self.betas[k])
+            tm = DensityModel(lambda x, b=beta: b * base_ld(x))
+            spl_k = self._scaled_inner(self.replica_scales[k])
+            st_k = jax.tree_util.tree_map(lambda x: x[k], inner)
+            _, s = spl_k.step(keys[k], st_k, tm)
+            outs.append(s)
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs
+        )
 
     # -- kernel ----------------------------------------------------------------
 
@@ -108,9 +180,10 @@ class ReplicaExchange(Sampler):
         betas = self._betas()
         key_step, key_swap = jax.random.split(key)
 
-        # 1. independent tempered inner steps (vmap over the replica axis)
-        inner = jax.vmap(self._tempered_step(model))(
-            jax.random.split(key_step, K), state.inner, betas
+        # 1. independent tempered inner steps (vmap over the replica axis,
+        # or per-replica scaled samplers when replica_scales is set)
+        inner = self._inner_steps(
+            model, jax.random.split(key_step, K), state.inner, betas
         )
 
         # 2. even-odd adjacent swap sweep. Raw log density ℓ = lp / β (the
@@ -172,3 +245,29 @@ def swap_rates(state: ReplicaExchangeState) -> jax.Array:
     """Observed adjacent-swap acceptance rates, shape (K-1,) (batched states
     return (..., K-1)) — tune ``betas`` toward ~0.2-0.4 per pair."""
     return state.swap_accept_count / jnp.maximum(state.swap_proposal_count, 1.0)
+
+
+def tune_betas(betas, rates, target: float = 0.3, step: float = 1.0):
+    """One stochastic-approximation update of the temperature ladder from
+    observed adjacent-swap rates (Miasojedow-Moulines-Vihola 2013 style).
+
+    The ladder is parameterized by positive log-spacings
+    ``ρ_k = log β_k − log β_{k+1}``; a pair swapping *above* ``target`` is
+    too close (wasted replicas) so its spacing grows, below-target pairs
+    shrink: ``ρ_k ← ρ_k · exp(step · (rate_k − target))``. β₀ stays 1.
+    Pass the per-chain-averaged :func:`swap_rates`; iterate between chunks
+    (e.g. ``sample_chunked`` callbacks) until rates flatten near ``target``.
+    Returns a plain tuple usable as ``ReplicaExchange(..., betas=...)``.
+    """
+    import numpy as _np
+
+    b = _np.asarray(betas, _np.float64)
+    r = _np.asarray(rates, _np.float64).reshape(-1)
+    if r.shape != (len(b) - 1,):
+        raise ValueError(
+            f"rates must have shape ({len(b) - 1},), got {r.shape}"
+        )
+    rho = _np.diff(-_np.log(b))  # positive spacings, length K-1
+    rho = rho * _np.exp(step * (r - target))
+    new = _np.exp(-_np.concatenate([[0.0], _np.cumsum(rho)]))
+    return tuple(float(x) for x in new)

@@ -121,3 +121,69 @@ class TestReplicaExchange:
             ReplicaExchange(inner, betas=(1.0, 0.5, 0.5))
         with pytest.raises(ValueError, match="at least 2"):
             ReplicaExchange(inner, betas=(1.0,))
+        with pytest.raises(ValueError, match="replica_scales"):
+            ReplicaExchange(inner, betas=BETAS, replica_scales=(1.0, 2.0))
+        with pytest.raises(ValueError, match="positive"):
+            ReplicaExchange(
+                inner, betas=(1.0, 0.5), replica_scales=(1.0, -1.0)
+            )
+        from advancedmh_tpu import MALA
+
+        with pytest.raises(ValueError, match="random-walk"):
+            ReplicaExchange(
+                MALA.langevin(0.1), betas=(1.0, 0.5),
+                replica_scales=(1.0, 2.0),
+            )
+
+    def test_replica_scales_mode_hopping(self):
+        """Per-replica β^{-1/2} step sizes keep hot replicas mixing and the
+        cold chain still targets the exact posterior."""
+        pt = ReplicaExchange(
+            RWMH(Normal(0.0, 0.5)), betas=BETAS,
+            replica_scales=ReplicaExchange.geometric_scales(BETAS),
+        )
+        res = sample(
+            MODEL, pt, 3000, key=7, num_chains=16, discard_initial=500,
+            initial_params=jnp.asarray(-5.0),
+        )
+        draws = np.asarray(res.transitions.params)
+        frac_right = (draws > 0).mean(axis=1)
+        assert 0.3 < float(frac_right.mean()) < 0.7
+        assert abs(float(draws.mean())) < 1.0
+        # cold-chain lp stays the untempered density
+        lp = np.asarray(res.transitions.lp)
+        want = np.vectorize(lambda v: float(_bimodal(jnp.asarray(v))))(draws)
+        np.testing.assert_allclose(lp, want, rtol=1e-4, atol=1e-4)
+
+
+class TestTuneBetas:
+    def test_moves_spacings_toward_target(self):
+        from advancedmh_tpu import tune_betas
+
+        betas = (1.0, 0.5, 0.25)
+        # first pair swaps far above target → its spacing must widen
+        # (β₁ drops); second pair far below → spacing shrinks (β₂ rises
+        # relative to β₁'s drop)
+        new = tune_betas(betas, [0.9, 0.05], target=0.3)
+        assert new[0] == 1.0
+        assert new[1] < 0.5  # widened gap
+        rho_old = np.diff(-np.log(np.asarray(betas)))
+        rho_new = np.diff(-np.log(np.asarray(new)))
+        assert rho_new[0] > rho_old[0]
+        assert rho_new[1] < rho_old[1]
+        # stays a valid ladder
+        assert all(b2 < b1 for b1, b2 in zip(new, new[1:]))
+        assert all(b > 0 for b in new)
+
+    def test_fixed_point_at_target(self):
+        from advancedmh_tpu import tune_betas
+
+        betas = (1.0, 0.4, 0.1)
+        new = tune_betas(betas, [0.3, 0.3], target=0.3)
+        np.testing.assert_allclose(new, betas, rtol=1e-12)
+
+    def test_shape_validation(self):
+        from advancedmh_tpu import tune_betas
+
+        with pytest.raises(ValueError, match="shape"):
+            tune_betas((1.0, 0.5), [0.3, 0.3])
