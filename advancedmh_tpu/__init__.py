@@ -64,6 +64,7 @@ from .samplers import (
     AdaptiveMetropolis,
     AdaptiveMetropolisState,
     Barker,
+    EllipticalSlice,
     MultipleTryMetropolis,
     Transition,
     GradientTransition,
@@ -105,7 +106,7 @@ __all__ = [
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
     "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
-    "MultipleTryMetropolis",
+    "EllipticalSlice", "MultipleTryMetropolis",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

@@ -14,6 +14,7 @@ from .emcee import Ensemble, StretchProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
+from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 
 __all__ = [
@@ -39,5 +40,6 @@ __all__ = [
     "AdaptiveMetropolis",
     "AdaptiveMetropolisState",
     "Barker",
+    "EllipticalSlice",
     "MultipleTryMetropolis",
 ]

@@ -1,0 +1,150 @@
+"""Elliptical slice sampling tests (samplers/ess.py).
+
+≙ the reference's commented-out elliptical-slice moves (src/emcee.jl:104-214)
+as a first-class sampler. Categories follow SURVEY.md §4: posterior moments
+against an analytic conjugate posterior, prior-invariance (the slice loop's
+exactness property), pytree composition, interface/error paths.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advancedmh_tpu import (
+    DensityModel,
+    EllipticalSlice,
+    InverseGamma,
+    MvNormal,
+    Normal,
+    sample,
+)
+
+# Conjugate fixture: prior N(0, 1) on θ, likelihood Π N(xᵢ; θ, 1) with n obs
+# → posterior N(n·x̄ / (n + 1), 1 / (n + 1)) in closed form.
+DATA = jnp.asarray(np.random.default_rng(7).normal(1.0, 1.0, size=20), jnp.float32)
+N_OBS = DATA.shape[0]
+POST_MEAN = float(N_OBS * DATA.mean() / (N_OBS + 1))
+POST_VAR = 1.0 / (N_OBS + 1)
+
+LIKELIHOOD = DensityModel(
+    lambda th: jnp.sum(Normal(th, 1.0).log_prob(DATA)), dimension=1
+)
+
+
+class TestConjugate:
+    def test_posterior_moments(self):
+        res = sample(
+            LIKELIHOOD,
+            EllipticalSlice(Normal(0.0, 1.0)),
+            500,
+            key=0,
+            num_chains=256,
+            discard_initial=50,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1)
+        assert abs(draws.mean() - POST_MEAN) < 0.02
+        np.testing.assert_allclose(draws.var(), POST_VAR, rtol=0.1)
+
+    def test_rejection_free(self):
+        """Every emitted transition is an accepted slice point."""
+        res = sample(
+            LIKELIHOOD, EllipticalSlice(Normal(0.0, 1.0)), 200, key=1,
+            num_chains=32,
+        )
+        # sample 1 is the init transition (accepted=False by convention,
+        # ≙ MH step-init); every slice step after it accepts.
+        assert bool(np.asarray(res.transitions.accepted)[:, 1:].all())
+
+    def test_single_chain_step(self):
+        spl = EllipticalSlice(Normal(0.0, 1.0))
+        t, state = spl.init(jax.random.key(0), LIKELIHOOD)
+        t2, _ = jax.jit(lambda k, s: spl.step(k, s, LIKELIHOOD))(
+            jax.random.key(1), state
+        )
+        assert t2.params.shape == t.params.shape
+        assert bool(t2.accepted)
+
+
+class TestPriorInvariance:
+    def test_constant_likelihood_samples_prior(self):
+        """With L ≡ const the first ellipse point always accepts and the chain
+        samples the prior exactly — the classic ESS validity check."""
+        cov = np.array([[2.0, 0.8], [0.8, 1.0]], dtype=np.float32)
+        prior = MvNormal.from_cov(jnp.asarray([1.0, -2.0]), jnp.asarray(cov))
+        flat = DensityModel(lambda th: jnp.zeros(()), dimension=2)
+        res = sample(
+            flat, EllipticalSlice(prior), 400,
+            key=2, num_chains=256, discard_initial=20,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), [1.0, -2.0], atol=0.05)
+        np.testing.assert_allclose(np.cov(draws.T), cov, rtol=0.1, atol=0.05)
+
+
+class TestPytree:
+    def test_dict_params(self):
+        """Prior pytree ≙ NamedTuple composition: per-leaf ellipses, one
+        shared slice height."""
+        prior = {"a": Normal(0.0, 1.0), "b": MvNormal.standard(2)}
+        model = DensityModel(
+            lambda th: Normal(th["a"], 0.5).log_prob(1.0)
+            + jnp.sum(Normal(th["b"], 1.0).log_prob(jnp.asarray([0.5, -0.5])))
+        )
+        res = sample(
+            model, EllipticalSlice(prior), 400, key=3, num_chains=128,
+            discard_initial=50,
+        )
+        a = np.asarray(res.transitions.params["a"]).reshape(-1)
+        b = np.asarray(res.transitions.params["b"]).reshape(-1, 2)
+        # posterior means: a ~ N(1·(1/0.25)/(1+1/0.25)... use conjugate form
+        # a: prior N(0,1), lik N(a; 1, 0.5) → mean = 1/(1+0.25) = 0.8
+        assert abs(a.mean() - 0.8) < 0.05
+        # b: prior N(0,I), one obs each σ=1 → mean = obs/2
+        np.testing.assert_allclose(b.mean(0), [0.25, -0.25], atol=0.05)
+
+
+class TestInterface:
+    def test_init_draws_from_prior(self):
+        spl = EllipticalSlice(MvNormal(jnp.asarray([5.0, 5.0]), scale=0.01))
+        t, _ = spl.init(jax.random.key(0), DensityModel(lambda th: jnp.zeros(())))
+        np.testing.assert_allclose(np.asarray(t.params), [5.0, 5.0], atol=0.1)
+
+    def test_initial_params_honored(self):
+        spl = EllipticalSlice(Normal(0.0, 1.0))
+        t, _ = spl.init(jax.random.key(0), LIKELIHOOD, jnp.asarray(0.25))
+        assert float(t.params) == 0.25
+
+    def test_non_gaussian_prior_rejected(self):
+        with pytest.raises(TypeError, match="Gaussian prior"):
+            EllipticalSlice(InverseGamma(2.0, 3.0)).init(
+                jax.random.key(0), LIKELIHOOD
+            )
+
+    def test_max_shrink_exhaustion_keeps_state(self):
+        """A −inf likelihood region can never satisfy the slice condition:
+        the chain keeps its state and reports accepted=False instead of
+        hanging (the TPU-native replacement for the reference's unbounded
+        ``while true``, src/emcee.jl:133)."""
+        impossible = DensityModel(lambda th: -jnp.inf * jnp.ones(()))
+        spl = EllipticalSlice(Normal(0.0, 1.0), max_shrink=8)
+        x0 = jnp.asarray(0.5)
+        _, state = spl.init(jax.random.key(0), impossible, x0)
+        t, _ = spl.step(jax.random.key(1), state, impossible)
+        assert float(t.params) == 0.5
+        assert not bool(t.accepted)
+
+    def test_deterministic_and_batched_consistency(self):
+        """step_batched with batch 1 matches the scalar step given the same
+        key (same draw order: ν, y, θ, shrink redraws)."""
+        spl = EllipticalSlice(Normal(0.0, 1.0))
+        _, state = spl.init(jax.random.key(0), LIKELIHOOD, jnp.asarray(0.1))
+        t1, _ = spl.step(jax.random.key(5), state, LIKELIHOOD)
+        batched_state = jax.tree_util.tree_map(
+            lambda x: x[None], state
+        )
+        t2, _ = spl.step_batched(jax.random.key(5), batched_state, LIKELIHOOD, (1,))
+        # Not bit-identical (batched RNG shapes differ) but both valid slice
+        # points; determinism itself:
+        t1b, _ = spl.step(jax.random.key(5), state, LIKELIHOOD)
+        np.testing.assert_array_equal(np.asarray(t1.params), np.asarray(t1b.params))
+        assert np.asarray(t2.params).shape == (1,)
