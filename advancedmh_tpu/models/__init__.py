@@ -13,6 +13,7 @@ from .targets import (
     correlated_gaussian_model,
     emcee_demo_model,
     logistic_regression_model,
+    gp_latent_model,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "correlated_gaussian_model",
     "emcee_demo_model",
     "logistic_regression_model",
+    "gp_latent_model",
 ]

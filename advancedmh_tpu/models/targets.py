@@ -255,3 +255,91 @@ def emcee_demo_model(transformed: bool = False) -> DensityModel:
     object.__setattr__(model, "tile_density", tile_density)
     object.__setattr__(model, "tile_consts", ())
     return model
+
+
+def gp_latent_model(
+    n_points: int = 64,
+    likelihood: str = "gaussian",
+    noise: float = 0.25,
+    lengthscale: float = 0.2,
+    amplitude: float = 1.0,
+    seed: int = 0,
+):
+    """1-D Gaussian-process latent field on a uniform grid — the showcase
+    target for :class:`EllipticalSlice` (likelihood × Gaussian prior, the
+    factorization ESS requires; the reference's commented-out elliptical
+    slice code at src/emcee.jl:104-214 was built for exactly this class).
+
+    The latent ``f ∈ R^{n_points}`` has prior ``N(0, K)`` with an RBF kernel
+    over grid x ∈ [0, 1]; observations come from a smooth ground-truth draw.
+
+    Returns ``(model, prior, aux)``:
+
+    - ``model`` — :class:`DensityModel` whose logdensity is the
+      **log-likelihood only** (what ESS consumes)
+    - ``prior`` — ``MvNormal(0, scale_tril=chol(K))``; under a chain batch
+      its per-step ellipse draw is a batched triangular matvec on the MXU
+    - ``aux`` — dict with the grid ``x``, observations ``y``, the true
+      latent ``f_true``, and for ``likelihood="gaussian"`` the analytic
+      posterior ``post_mean``/``post_cov`` (closed form:
+      ``Σ = K − K(K+σ²I)⁻¹K``, ``m = K(K+σ²I)⁻¹y``) so tests can assert
+      sampler output against exact values.
+
+    ``likelihood="logistic"`` gives GP binary classification
+    (y ∈ {−1, +1}, log σ(y·f) pointwise) — non-conjugate, the standard ESS
+    application.
+    """
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 1.0, n_points, dtype=np.float64)
+    sq = (x[:, None] - x[None, :]) ** 2
+    K = amplitude**2 * np.exp(-0.5 * sq / lengthscale**2)
+    K += 1e-6 * np.eye(n_points)
+    L = np.linalg.cholesky(K)
+    f_true = L @ rng.normal(size=n_points)
+
+    prior = MvNormal(
+        jnp.zeros(n_points, jnp.float32),
+        scale_tril=jnp.asarray(L, jnp.float32),
+    )
+    aux = {"x": x, "f_true": f_true}
+
+    if likelihood == "gaussian":
+        y = f_true + noise * rng.normal(size=n_points)
+        A = np.linalg.solve(K + noise**2 * np.eye(n_points), K)  # (K+σ²I)⁻¹K
+        aux["post_mean"] = K @ np.linalg.solve(
+            K + noise**2 * np.eye(n_points), y
+        )
+        aux["post_cov"] = K - K @ A
+        y_j = jnp.asarray(y, jnp.float32)
+        inv2 = 1.0 / (noise * noise)
+
+        def loglik(f):
+            r = y_j - f
+            return -0.5 * inv2 * jnp.sum(r * r) - n_points * (
+                _HALF_LOG_2PI + math.log(noise)
+            )
+
+        def batched(fs):  # (C, d) -> (C,)
+            r = y_j - fs
+            return -0.5 * inv2 * jnp.sum(r * r, axis=-1) - n_points * (
+                _HALF_LOG_2PI + math.log(noise)
+            )
+
+    elif likelihood == "logistic":
+        y = np.where(f_true + noise * rng.normal(size=n_points) > 0, 1.0, -1.0)
+        y_j = jnp.asarray(y, jnp.float32)
+
+        def loglik(f):
+            return -jnp.sum(jnp.logaddexp(0.0, -y_j * f))
+
+        def batched(fs):
+            return -jnp.sum(jnp.logaddexp(0.0, -y_j * fs), axis=-1)
+
+    else:
+        raise ValueError(f"unknown likelihood {likelihood!r}")
+
+    aux["y"] = y
+    model = DensityModel(
+        loglik, logdensity_batched_fn=batched, dimension=n_points
+    )
+    return model, prior, aux

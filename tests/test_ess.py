@@ -148,3 +148,40 @@ class TestInterface:
         t1b, _ = spl.step(jax.random.key(5), state, LIKELIHOOD)
         np.testing.assert_array_equal(np.asarray(t1.params), np.asarray(t1b.params))
         assert np.asarray(t2.params).shape == (1,)
+
+
+class TestGPLatent:
+    def test_gp_analytic_posterior(self):
+        """d=32 GP regression: ESS recovers the exact closed-form posterior
+        mean and marginal variances (full-covariance MvNormal prior — the
+        scale_tril ellipse path)."""
+        from advancedmh_tpu.models import gp_latent_model
+
+        model, prior, aux = gp_latent_model(n_points=32, noise=0.3, seed=3)
+        res = sample(
+            model, EllipticalSlice(prior), 600, key=4, num_chains=128,
+            discard_initial=100,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 32)
+        np.testing.assert_allclose(
+            draws.mean(0), aux["post_mean"], atol=0.05
+        )
+        np.testing.assert_allclose(
+            draws.var(0), np.diag(aux["post_cov"]), rtol=0.15, atol=0.01
+        )
+
+    def test_gp_logistic_runs(self):
+        """Non-conjugate GP classification: the standard ESS application."""
+        from advancedmh_tpu.models import gp_latent_model
+
+        model, prior, aux = gp_latent_model(
+            n_points=32, likelihood="logistic", seed=5
+        )
+        res = sample(
+            model, EllipticalSlice(prior), 300, key=6, num_chains=64,
+            discard_initial=100,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 32)
+        # posterior mean latent should classify the training points well
+        acc = (np.sign(draws.mean(0)) == aux["y"]).mean()
+        assert acc > 0.8

@@ -52,3 +52,6 @@ def test_logreg_example():
 
 def test_tempering_example():
     _run("tempering_example", {"N_SAMPLES": "4000", "NUM_CHAINS": "16"})
+
+def test_ess_gp_example():
+    _run("ess_gp", {"N_SAMPLES": "600", "NUM_CHAINS": "32", "N_POINTS": "32"})
