@@ -325,6 +325,12 @@ def gp_latent_model(
                 _HALF_LOG_2PI + math.log(noise)
             )
 
+        def tile_density(f, y_col):  # Pallas tile form: f (d, TC)
+            r = y_col - f
+            return -0.5 * inv2 * jnp.sum(r * r, axis=0, keepdims=True) - (
+                n_points * (_HALF_LOG_2PI + math.log(noise))
+            )
+
     elif likelihood == "logistic":
         y = np.where(f_true + noise * rng.normal(size=n_points) > 0, 1.0, -1.0)
         y_j = jnp.asarray(y, jnp.float32)
@@ -335,11 +341,20 @@ def gp_latent_model(
         def batched(fs):
             return -jnp.sum(jnp.logaddexp(0.0, -y_j * fs), axis=-1)
 
+        def tile_density(f, y_col):  # stable softplus with raw exp/log ops
+            t = -y_col * f
+            sp = jnp.maximum(t, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(t)))
+            return -jnp.sum(sp, axis=0, keepdims=True)
+
     else:
         raise ValueError(f"unknown likelihood {likelihood!r}")
 
     aux["y"] = y
     model = DensityModel(
         loglik, logdensity_batched_fn=batched, dimension=n_points
+    )
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(
+        model, "tile_consts", (np.asarray(y, np.float32).reshape(-1, 1),)
     )
     return model, prior, aux

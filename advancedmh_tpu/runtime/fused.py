@@ -498,6 +498,107 @@ def sample_fused_barker(
     return transitions, final_state
 
 
+def _extract_ess_prior(sampler, d: int):
+    """Return (loc, scale) of the sampler's Gaussian prior — scale is a
+    per-dimension std-dev ``(d,)`` or a full lower-Cholesky ``(d, d)`` — or
+    raise if the prior is a pytree (the fused engine handles a single leaf;
+    tree priors run on the XLA path)."""
+    p = sampler.prior
+    if isinstance(p, MvNormal):
+        loc = np.broadcast_to(np.asarray(p.loc, np.float32), (d,))
+        if p.scale_tril is not None:
+            return loc, np.tril(np.asarray(p.scale_tril, np.float32))
+        if p.scale_diag is not None:
+            return loc, np.broadcast_to(np.asarray(p.scale_diag), (d,))
+        return loc, np.broadcast_to(np.asarray(p.scale), (d,))
+    if isinstance(p, Normal):
+        return (
+            np.broadcast_to(np.asarray(p.loc, np.float32), (d,)),
+            np.broadcast_to(np.asarray(p.scale, np.float32), (d,)),
+        )
+    raise ValueError(
+        "engine='fused' EllipticalSlice needs a single Normal/MvNormal "
+        "prior leaf (pytree priors: use the XLA path)."
+    )
+
+
+def sample_fused_ess(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused elliptical-slice engine (ops/pallas_ess.py): prior-ellipse
+    moves with the θ-bracket shrinkage statically unrolled in VMEM
+    (``sampler.max_shrink`` capped at 24 trips — see the kernel docstring
+    for why static trips beat a data-dependent loop on Mosaic; lanes that
+    exhaust the bracket keep their state and report accepted=False, and at
+    24 trips that tail is ≲0.05% of steps on tight GP posteriors). The model's
+    tile density must be the **log-likelihood** (the ESS contract).
+    ``initial_params=None`` draws chain starts from the prior."""
+    from ..ops.pallas_ess import fused_ess_sample
+
+    d = model.dimension
+    if d is None:
+        if initial_params is None:
+            raise ValueError(
+                "engine='fused' ESS needs model.dimension or initial_params"
+            )
+        d = int(np.asarray(initial_params).shape[-1])
+    loc, scale = _extract_ess_prior(sampler, d)
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+
+    run = fused_ess_sample(
+        tile_fn, d=d, loc=loc, scale=scale, n_samples=n_samples,
+        burn=burn, thin=thinning,
+        max_shrink=min(int(sampler.max_shrink), 24),
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init_key, seed_key = jax.random.split(jnp.asarray(key))
+    if initial_params is None:
+        # ESS default: start every chain at a prior draw (≙ samplers/ess.py
+        # init; the prior is proper by construction).
+        x_t = jnp.asarray(loc, jnp.float32)[:, None] + (
+            jnp.asarray(scale, jnp.float32) @ jax.random.normal(
+                init_key, (d, num_chains)
+            )
+            if np.ndim(scale) == 2
+            else jnp.asarray(scale, jnp.float32)[:, None]
+            * jax.random.normal(init_key, (d, num_chains))
+        )
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
+    return transitions, final_state
+
+
 def sample_fused_tempering(
     model,
     sampler,

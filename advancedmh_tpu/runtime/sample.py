@@ -345,6 +345,7 @@ def sample(
         from ..samplers.am import AdaptiveMetropolis as _AM
         from ..samplers.barker import Barker as _Barker
         from ..samplers.emcee import Ensemble as _Ensemble
+        from ..samplers.ess import EllipticalSlice as _ESS
         from ..samplers.mala import MALA as _MALA
         from ..samplers.ram import RobustAdaptiveMetropolis
         from ..samplers.tempering import ReplicaExchange as _RE
@@ -353,6 +354,7 @@ def sample(
             sample_fused_am,
             sample_fused_barker,
             sample_fused_emcee,
+            sample_fused_ess,
             sample_fused_mala,
             sample_fused_ram,
             sample_fused_tempering,
@@ -442,6 +444,14 @@ def sample(
             )
         elif isinstance(sampler, _Barker):
             transitions, final_state = sample_fused_barker(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _ESS):
+            transitions, final_state = sample_fused_ess(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,

@@ -567,3 +567,92 @@ class TestFusedMTM:
         p1, l1, a1 = run(params, lp0, 3)
         p2, l2, a2 = run(params, lp0, 3)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+@requires_tpu
+class TestFusedESS:
+    def test_fused_ess_gp_analytic_posterior(self):
+        """Fused ESS on the d=16 GP regression target (MvNormal scale_tril
+        prior → in-kernel L@z matvec): recovers the closed-form posterior."""
+        import numpy as np
+
+        from advancedmh_tpu import EllipticalSlice, sample
+        from advancedmh_tpu.models import gp_latent_model
+
+        model, prior, aux = gp_latent_model(n_points=16, noise=0.3, seed=3)
+        res = sample(
+            model, EllipticalSlice(prior), 800, key=11, num_chains=2048,
+            engine="fused", discard_initial=100,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 16)
+        np.testing.assert_allclose(draws.mean(0), aux["post_mean"], atol=0.03)
+        np.testing.assert_allclose(
+            draws.var(0), np.diag(aux["post_cov"]), rtol=0.15, atol=0.01
+        )
+        # slice moves nearly always land within the static trip budget
+        assert np.asarray(res.transitions.accepted).mean() > 0.995
+
+    def test_fused_ess_scalar_prior_matches_xla(self):
+        """Diagonal-prior fused engine vs the XLA while_loop path on the
+        conjugate scalar model; also exercises prior-draw initialization."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import DensityModel, EllipticalSlice, Normal, sample
+
+        data = np.random.default_rng(7).normal(1.0, 1.0, size=20).astype(
+            np.float32
+        )
+        lik = DensityModel(
+            lambda th: jnp.sum(
+                Normal(jnp.reshape(th, ()), 1.0).log_prob(jnp.asarray(data))
+            ),
+            dimension=1,
+        )
+        # Pallas kernels cannot close over arrays: data rides in as a const.
+        object.__setattr__(
+            lik, "tile_density",
+            lambda th, obs: jnp.sum(
+                -0.5 * (obs - th) ** 2, axis=0, keepdims=True
+            ),
+        )
+        object.__setattr__(lik, "tile_consts", (data.reshape(-1, 1),))
+        post_mean = 20 * data.mean() / 21
+        post_var = 1 / 21
+        spl = EllipticalSlice(Normal(0.0, 1.0))
+        fused = sample(
+            lik, spl, 600, key=3, num_chains=2048, engine="fused",
+            discard_initial=50,
+        )
+        fd = np.asarray(fused.transitions.params).reshape(-1)
+        assert abs(fd.mean() - post_mean) < 0.01
+        np.testing.assert_allclose(fd.var(), post_var, rtol=0.05)
+        xla = sample(
+            lik, spl, 600, key=3, num_chains=512, discard_initial=50,
+        )
+        xd = np.asarray(xla.transitions.params).reshape(-1)
+        assert abs(fd.mean() - xd.mean()) < 0.01
+
+    def test_fused_ess_thinning_and_logistic(self):
+        """thin>1 kernel specialization + the logistic (non-conjugate) tile
+        density; resume state is a plain Transition."""
+        import numpy as np
+
+        from advancedmh_tpu import EllipticalSlice, sample
+        from advancedmh_tpu.models import gp_latent_model
+
+        model, prior, aux = gp_latent_model(
+            n_points=16, likelihood="logistic", seed=5
+        )
+        res = sample(
+            model, EllipticalSlice(prior), 200, key=12, num_chains=1024,
+            engine="fused", discard_initial=100, thinning=3,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 16)
+        confident = np.abs(aux["f_true"]) > 0.5
+        agree = (
+            np.sign(draws.mean(0)[confident])
+            == np.sign(aux["f_true"][confident])
+        ).mean()
+        assert agree > 0.95
+        assert np.asarray(res.final_state.params).shape == (1024, 16)
