@@ -66,6 +66,7 @@ from .samplers import (
     Barker,
     EllipticalSlice,
     MultipleTryMetropolis,
+    SliceSampler,
     Transition,
     GradientTransition,
     getparams,
@@ -106,7 +107,7 @@ __all__ = [
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
     "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
-    "EllipticalSlice", "MultipleTryMetropolis",
+    "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

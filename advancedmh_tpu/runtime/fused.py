@@ -599,6 +599,65 @@ def sample_fused_ess(
     return transitions, final_state
 
 
+def sample_fused_slice(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused slice-sampling engine (ops/pallas_slice.py): random-direction
+    stepping-out + shrinkage statically unrolled in VMEM. The stepping-out
+    budget follows ``sampler.max_stepout`` (capped at 8 trips) and the
+    shrink budget ``sampler.max_shrink`` (capped at 24); exhausted lanes
+    keep their state and report accepted=False."""
+    from ..ops.pallas_slice import fused_slice_sample
+
+    if initial_params is None:
+        raise ValueError("please specify initial parameters")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+
+    run = fused_slice_sample(
+        tile_fn, d=d, width=sampler.width, n_samples=n_samples,
+        burn=burn, thin=thinning,
+        max_stepout=min(int(sampler.max_stepout), 8),
+        max_shrink=min(int(sampler.max_shrink), 24),
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, seed)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
+    return transitions, final_state
+
+
 def sample_fused_tempering(
     model,
     sampler,

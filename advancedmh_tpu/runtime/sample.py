@@ -347,6 +347,7 @@ def sample(
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.ess import EllipticalSlice as _ESS
         from ..samplers.mala import MALA as _MALA
+        from ..samplers.slice import SliceSampler as _Slice
         from ..samplers.ram import RobustAdaptiveMetropolis
         from ..samplers.tempering import ReplicaExchange as _RE
         from .fused import (
@@ -356,6 +357,7 @@ def sample(
             sample_fused_emcee,
             sample_fused_ess,
             sample_fused_mala,
+            sample_fused_slice,
             sample_fused_ram,
             sample_fused_tempering,
         )
@@ -452,6 +454,14 @@ def sample(
             )
         elif isinstance(sampler, _ESS):
             transitions, final_state = sample_fused_ess(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _Slice):
+            transitions, final_state = sample_fused_slice(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,

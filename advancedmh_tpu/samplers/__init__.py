@@ -16,6 +16,7 @@ from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
+from .slice import SliceSampler
 
 __all__ = [
     "Sampler",
@@ -42,4 +43,5 @@ __all__ = [
     "Barker",
     "EllipticalSlice",
     "MultipleTryMetropolis",
+    "SliceSampler",
 ]

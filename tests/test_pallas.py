@@ -656,3 +656,49 @@ class TestFusedESS:
         ).mean()
         assert agree > 0.95
         assert np.asarray(res.final_state.params).shape == (1024, 16)
+
+
+@requires_tpu
+class TestFusedSlice:
+    def test_fused_slice_readme_model(self):
+        """Fused slice engine on the README (μ, σ) flagship: posterior
+        moments + near-total slice success within the static budgets."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import SliceSampler, sample
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+        model = gaussian_mean_scale_model()
+        res = sample(
+            model, SliceSampler(width=0.5), 2000, key=14, num_chains=2048,
+            engine="fused", discard_initial=200,
+            initial_params=jnp.asarray([0.0, 1.0]),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        # true posterior moments for THIS 30-obs dataset by 2-D numerical
+        # integration: E[μ] = 0.0268, E[σ] = 1.1810 (the data's sample std
+        # is 1.11, not 1.0 — do not assert against the nominal σ=1)
+        assert abs(draws[:, 0].mean() - 0.0268) < 0.03
+        assert abs(draws[:, 1].mean() - 1.1810) < 0.03
+        assert np.asarray(res.transitions.accepted).mean() > 0.995
+
+    def test_fused_slice_covariance_and_thinning(self):
+        """Correlated quadratic target, thin>1 specialization: full
+        covariance recovered through random-direction slices."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import SliceSampler, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, SliceSampler(width=1.5), 1500, key=15, num_chains=2048,
+            engine="fused", discard_initial=300, thinning=2,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.05)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.1)
