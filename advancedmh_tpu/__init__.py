@@ -67,6 +67,7 @@ from .samplers import (
     EllipticalSlice,
     MultipleTryMetropolis,
     SliceSampler,
+    DifferentialEvolution,
     Transition,
     GradientTransition,
     getparams,
@@ -108,6 +109,7 @@ __all__ = [
     "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
+    "DifferentialEvolution",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

@@ -17,17 +17,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..samplers.emcee import Ensemble
 from .chains import Chains
 from .flatten import flatten_params
 
 
 def _layout(result):
-    """Returns (values (S,P,Ctot), lp (S,Ctot), names) in Chains layout."""
+    """Returns (values (S,P,Ctot), lp (S,Ctot), names) in Chains layout.
+
+    ``is_ensemble`` covers every population sampler (emcee Ensemble, DE-MC):
+    their states carry a leading walker/member axis that bundles into the
+    reference's 3-D walker array (ext/AdvancedMHMCMCChainsExt.jl:80-121)."""
     params = result.transitions.params
     lp = jnp.asarray(result.transitions.lp)
     C = result.num_chains
-    is_ensemble = isinstance(result.sampler, Ensemble)
+    is_ensemble = bool(getattr(result.sampler, "is_population", False))
     return params, lp, C, is_ensemble
 
 

@@ -17,6 +17,7 @@ from .barker import Barker
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
+from .demc import DifferentialEvolution
 
 __all__ = [
     "Sampler",
@@ -44,4 +45,5 @@ __all__ = [
     "EllipticalSlice",
     "MultipleTryMetropolis",
     "SliceSampler",
+    "DifferentialEvolution",
 ]

@@ -65,6 +65,11 @@ def select_tree(pred: jax.Array, on_true, on_false):
 class Sampler:
     """Base class for MH-style samplers (≙ ``MHSampler``, src/AdvancedMH.jl:33)."""
 
+    # True for population samplers (emcee Ensemble, DE-MC) whose state carries
+    # a leading member/walker axis — drives the 3-D walker bundle path
+    # (≙ ext/AdvancedMHMCMCChainsExt.jl:80-121).
+    is_population = False
+
     def init(
         self, key: KeyArray, model, initial_params: Optional[Any] = None
     ) -> Tuple[Any, Any]:

@@ -1,0 +1,193 @@
+"""Differential-evolution MCMC (DE-MC, ter Braak 2006).
+
+Beyond-parity sampler (not in the reference — the natural companion to the
+reference's only ensemble method, emcee at src/emcee.jl): a population of
+members where each proposal is a scaled *difference of two other members*,
+
+    y = x_i + γ·(x_{r1} − x_{r2}) + ε,          ε ~ N(0, noise_scale²·I)
+
+with γ = 2.38/√(2d) (the ter Braak 2006 default, optimal for Gaussian
+targets) and occasional γ = 1 "mode-jump" moves that let the population hop
+between modes. The difference-vector proposal self-tunes to the target's
+covariance — DE-MC is the population analog of adaptive Metropolis.
+
+TPU formulation mirrors this framework's emcee (samplers/emcee.py): the
+reference-style sequential population update would serialize, so the
+population splits red-black — each half moves *in parallel* with both
+difference members drawn from the frozen complementary half. Given the
+frozen half, the proposal density is symmetric in (x_i, y) (r1, r2 are
+exchangeable, ε is symmetric), so plain MH acceptance applies and detailed
+balance holds per half-move. Mode-jump moves are taken *stochastically*
+(probability ``jump_probability`` per member-step) rather than on ter
+Braak's fixed every-10th-step schedule: a mixture kernel needs no iteration
+counter in the state and each component preserves the target.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..distributions import Distribution
+from ..models.density import as_model, logdensity
+from ..proposals import StaticProposal, propose_initial
+from ..utils import KeyArray
+from .base import Sampler, Transition
+
+
+def _as_static_tree(payload):
+    """Wrap each Distribution (or Distribution-sequence / callable) leaf of a
+    payload pytree in a StaticProposal, so dict/tuple payloads compose the
+    same way tree proposals do (proposals/core.py container convention)."""
+
+    def is_leaf(x):
+        return (
+            isinstance(x, Distribution)
+            or (
+                isinstance(x, (list, tuple))
+                and all(isinstance(p, Distribution) for p in x)
+            )
+            or callable(x)
+        )
+
+    return jax.tree_util.tree_map(StaticProposal, payload, is_leaf=is_leaf)
+
+
+@dataclasses.dataclass(frozen=True)
+class DifferentialEvolution(Sampler):
+    """DE-MC population sampler.
+
+    ``payload`` (a Distribution or list of Distributions) seeds the initial
+    per-member prior draws (≙ emcee's StretchProposal payload role);
+    ``gamma=None`` uses the 2.38/√(2d) default at step time.
+
+    ``n_members`` must be even (red-black halves) and ≥ 6 so each frozen
+    half offers distinct difference pairs (ter Braak 2006 recommends
+    ≥ 2d–3d members).
+    """
+
+    n_members: int
+    payload: Any
+    gamma: Optional[float] = None
+    noise_scale: float = 1e-4
+    jump_probability: float = 0.1
+
+    is_population = True
+
+    def __post_init__(self):
+        if self.n_members % 2 != 0 or self.n_members < 6:
+            raise ValueError(
+                f"n_members must be even and ≥ 6, got {self.n_members}"
+            )
+
+    # -- helpers -----------------------------------------------------------
+
+    @staticmethod
+    def _dim_of(params) -> int:
+        leaves = jax.tree_util.tree_leaves(params)
+        return int(sum(int(np.prod(l.shape[1:])) for l in leaves))
+
+    def _gamma(self, d: int) -> float:
+        if self.gamma is not None:
+            return float(self.gamma)
+        return 2.38 / float(np.sqrt(2.0 * d))
+
+    # -- kernel ------------------------------------------------------------
+
+    def init(
+        self, key: KeyArray, model, initial_params: Optional[Any] = None
+    ) -> Tuple[Transition, Transition]:
+        """Each member drawn from the payload as a static prior draw;
+        ``initial_params`` (leading member axis) overrides."""
+        model = as_model(model)
+        if initial_params is None:
+            keys = jax.random.split(key, self.n_members)
+            static = _as_static_tree(self.payload)
+            params = jax.vmap(lambda k: propose_initial(k, static))(keys)
+        else:
+            params = initial_params
+            got = jax.tree_util.tree_leaves(params)[0].shape[0]
+            if got != self.n_members:
+                raise ValueError(
+                    f"initial_params carries {got} members but the sampler "
+                    f"was built with n_members={self.n_members}"
+                )
+        lp = jax.vmap(lambda p: logdensity(model, p))(params)
+        t = Transition(params, lp, jnp.zeros((self.n_members,), bool))
+        return t, t
+
+    def _half_move(self, key, active_params, active_lp, other_params, other_lp, model):
+        """Parallel DE move of one half against the frozen other half."""
+        n_active = jax.tree_util.tree_leaves(active_lp)[0].shape[0]
+        n_other = jax.tree_util.tree_leaves(other_lp)[0].shape[0]
+        d = self._dim_of(active_params)
+        gamma = self._gamma(d)
+
+        key_r1, key_r2, key_j, key_eps, key_acc = jax.random.split(key, 5)
+        # Two distinct members of the frozen half: draw r1 in [0, H) and
+        # r2 in [0, H-1), bumping r2 past r1 (the standard distinct-pair trick).
+        r1 = jax.random.randint(key_r1, (n_active,), 0, n_other)
+        r2 = jax.random.randint(key_r2, (n_active,), 0, n_other - 1)
+        r2 = r2 + (r2 >= r1)
+        x1 = jax.tree_util.tree_map(lambda p: p[r1], other_params)
+        x2 = jax.tree_util.tree_map(lambda p: p[r2], other_params)
+
+        # γ per member: mode-jump (γ=1) with probability jump_probability.
+        jump = jax.random.uniform(key_j, (n_active,)) < self.jump_probability
+        g = jnp.where(jump, 1.0, gamma)
+
+        leaves = jax.tree_util.tree_leaves(active_params)
+        eps_keys = jax.random.split(key_eps, len(leaves))
+        eps_treedef = jax.tree_util.tree_structure(active_params)
+        eps = jax.tree_util.tree_unflatten(
+            eps_treedef,
+            [
+                self.noise_scale * jax.random.normal(k, l.shape, l.dtype)
+                for k, l in zip(eps_keys, leaves)
+            ],
+        )
+
+        def de_move(xi, a, b, e):
+            gb = g.reshape((n_active,) + (1,) * (xi.ndim - 1))
+            return xi + gb * (a - b) + e
+
+        y = jax.tree_util.tree_map(de_move, active_params, x1, x2, eps)
+        lp_y = jax.vmap(lambda p: logdensity(model, p))(y)
+
+        # Symmetric proposal given the frozen half → logα = Δlp.
+        logalpha = lp_y - active_lp
+        accepted = -jax.random.exponential(key_acc, (n_active,)) < logalpha
+
+        new_params = jax.tree_util.tree_map(
+            lambda yy, pp: jnp.where(
+                accepted.reshape((n_active,) + (1,) * (yy.ndim - 1)), yy, pp
+            ),
+            y,
+            active_params,
+        )
+        new_lp = jnp.where(accepted, lp_y, active_lp)
+        return new_params, new_lp, accepted
+
+    def step(self, key: KeyArray, state: Transition, model) -> Tuple[Transition, Transition]:
+        """One full population update = two complementary half-moves."""
+        model = as_model(model)
+        h = self.n_members // 2
+        key_a, key_b = jax.random.split(key)
+
+        take = lambda tree, sl: jax.tree_util.tree_map(lambda x: x[sl], tree)
+        pA, lpA = take(state.params, slice(0, h)), state.lp[:h]
+        pB, lpB = take(state.params, slice(h, None)), state.lp[h:]
+
+        pA, lpA, accA = self._half_move(key_a, pA, lpA, pB, lpB, model)
+        pB, lpB, accB = self._half_move(key_b, pB, lpB, pA, lpA, model)
+
+        params = jax.tree_util.tree_map(
+            lambda x, y: jnp.concatenate([x, y], axis=0), pA, pB
+        )
+        lp = jnp.concatenate([lpA, lpB])
+        accepted = jnp.concatenate([accA, accB])
+        t = Transition(params, lp, accepted)
+        return t, t

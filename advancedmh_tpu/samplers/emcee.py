@@ -54,6 +54,8 @@ class Ensemble(Sampler):
     n_walkers: int
     proposal: StretchProposal
 
+    is_population = True
+
     # -- helpers -----------------------------------------------------------
 
     @staticmethod
