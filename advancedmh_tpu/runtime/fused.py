@@ -834,6 +834,82 @@ def sample_fused_emcee(
     return transitions, final_state
 
 
+def sample_fused_demc(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_members: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused DE-MC engine (ops/pallas_demc.py): red-black difference-vector
+    moves with the cross-member pair gather done as one one-hot-difference
+    matmul on the MXU, whole population resident in VMEM. Member count must
+    be a multiple of 256 (half-populations must align to 128 lanes).
+
+    With ``mesh`` set, members shard over devices and each device runs an
+    independent sub-population (difference pairs stay shard-local — no
+    collectives), same semantics note as the fused emcee engine."""
+    from ..ops.pallas_demc import fused_demc_sample
+
+    M = sampler.n_members
+    per_device = M if mesh is None else M // mesh.shape[mesh_axis]
+    if mesh is not None and M % mesh.shape[mesh_axis] != 0:
+        raise ValueError(
+            f"n_members ({M}) must divide over the {mesh.shape[mesh_axis]}-"
+            "device mesh"
+        )
+    if tile_members is None:
+        tile_members = per_device
+    if tile_members % 256 != 0 or per_device % tile_members != 0:
+        raise ValueError(
+            f"engine='fused' DE-MC needs the per-device member count "
+            f"({per_device}) to be a multiple of 256 (half-populations must "
+            "align to 128 lanes); use the XLA engine for other member counts."
+        )
+    d = model.dimension
+    if d is None:
+        if initial_params is None:
+            raise ValueError(
+                "engine='fused' DE-MC needs model.dimension or initial_params"
+            )
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+
+    run = fused_demc_sample(
+        tile_fn, d=d, n_samples=n_samples,
+        gamma=sampler._gamma(d), noise_scale=sampler.noise_scale,
+        jump_probability=sampler.jump_probability,
+        burn=burn, thin=thinning, consts=consts, tile_members=tile_members,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    init_key, seed_key = jax.random.split(key)
+    if initial_params is None:
+        init_tr, _ = sampler.init(init_key, model)
+        x = init_tr.params
+    else:
+        x = initial_params
+    x_t = jnp.asarray(x, jnp.float32).reshape(M, d).T  # (d, M)
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, seed)
+
+    params = jnp.transpose(samples, (0, 2, 1))  # (N, M, d)
+    lp = lps[:, 0, :]  # (N, M)
+    accepted = accs[:, 0, :] > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[-1], lp[-1], accepted[-1])
+    return transitions, final_state
+
+
 def sample_fused(
     model,
     sampler,

@@ -344,6 +344,7 @@ def sample(
     if engine == "fused":
         from ..samplers.am import AdaptiveMetropolis as _AM
         from ..samplers.barker import Barker as _Barker
+        from ..samplers.demc import DifferentialEvolution as _DEMC
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.ess import EllipticalSlice as _ESS
         from ..samplers.mala import MALA as _MALA
@@ -354,6 +355,7 @@ def sample(
             sample_fused,
             sample_fused_am,
             sample_fused_barker,
+            sample_fused_demc,
             sample_fused_emcee,
             sample_fused_ess,
             sample_fused_mala,
@@ -403,6 +405,19 @@ def sample(
         if isinstance(sampler, _Ensemble):
             # walkers are the batch axis; num_chains does not apply
             transitions, final_state = sample_fused_emcee(
+                model, sampler, n_samples, key=fkey,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+            return _finish(
+                transitions, final_state, schedule, None, False, sampler,
+                chain_type, param_names,
+            )
+        if isinstance(sampler, _DEMC):
+            # members are the batch axis; num_chains does not apply
+            transitions, final_state = sample_fused_demc(
                 model, sampler, n_samples, key=fkey,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,

@@ -113,6 +113,16 @@ class TestMechanics:
         assert abs(a.mean()) < 0.15
         assert abs(b.mean()) < 0.15
 
+    def test_fused_member_count_must_align(self):
+        """engine='fused' validation raises before any Pallas compile (the
+        fused kernel itself is TPU-gated in test_pallas.py)."""
+        model = DensityModel(_logprob_untransformed)
+        spl = DifferentialEvolution(
+            1000, [InverseGamma(2.0, 3.0), Normal(0.0, 1.0)]
+        )
+        with pytest.raises(ValueError, match="multiple of 256"):
+            sample(model, spl, 10, key=0, engine="fused")
+
     def test_mode_jump_hops_bimodal(self):
         """When the population spans two well-separated modes, γ=1 jump
         moves ride cross-mode difference vectors — individual members hop
