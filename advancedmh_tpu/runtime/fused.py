@@ -852,6 +852,11 @@ def sample_fused_demc(
     matmul on the MXU, whole population resident in VMEM. Member count must
     be a multiple of 256 (half-populations must align to 128 lanes).
 
+    ``tile_members`` defaults to the whole (per-device) population for exact
+    single-population semantics; each tile is an *independent* population, so
+    smaller tiles trade coupling for speed (the H×H difference matmul is
+    quadratic in tile — 512 is the measured throughput peak, +40% over 2048).
+
     With ``mesh`` set, members shard over devices and each device runs an
     independent sub-population (difference pairs stay shard-local — no
     collectives), same semantics note as the fused emcee engine."""

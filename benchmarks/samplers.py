@@ -230,6 +230,53 @@ def bench_emcee_fused(W=16384, n=4000):
     return W * n / best
 
 
+def bench_demc(M=16384, n=2000):
+    from advancedmh_tpu import DifferentialEvolution, InverseGamma, Normal
+    from advancedmh_tpu.models.targets import emcee_demo_model
+
+    model = emcee_demo_model()
+    spl = DifferentialEvolution(
+        M, [InverseGamma(2.0, 3.0), Normal(0.0, 1.0)]
+    )
+    master = jax.random.key(0)
+    _, state = jax.jit(lambda k: spl.init(k, model))(master)
+    step = lambda j, s: spl.step(jax.random.fold_in(master, j), s, model)[1]
+    return M * n / _time_scan(step, state, n)
+
+
+def bench_demc_fused(M=16384, n=4000):
+    """Fused Pallas DE-MC engine (TPU only): every draw emitted, thin=1.
+
+    tile_members=512 is the measured peak (the one-hot-difference matmul is
+    O(H^2) per half-move, so larger tiles pay quadratically; 256 pays grid
+    overhead instead — 512: 6.0e8, 1024: 5.5e8, 256: 4.8e8)."""
+    from advancedmh_tpu import DifferentialEvolution
+    from advancedmh_tpu.models.targets import emcee_demo_model
+    from advancedmh_tpu.ops import fused_demc_sample
+
+    model = emcee_demo_model()
+    gamma = DifferentialEvolution._gamma(
+        DifferentialEvolution(M, None, gamma=None), 2
+    )
+    run = fused_demc_sample(
+        model.tile_density, d=2, n_samples=n, gamma=gamma, burn=0, thin=1,
+        tile_members=512,
+    )
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x_t = jnp.stack([
+        1.0 + jax.random.gamma(k1, 2.0, (M,)),  # s > 0, spread
+        jax.random.normal(k2, (M,)),
+    ])
+    lp0 = model.tile_density(x_t)
+
+    def go(seed):
+        s, lp, acc = run(x_t, lp0, seed)
+        return float(lp[-1, 0, 0])
+
+    best, _ = best_of(go)
+    return M * n / best
+
+
 def _fence(*arrs):
     """Scalar host reads as a true sync (see _time_scan)."""
     return sum(float(jnp.ravel(a)[0]) for a in arrs)
@@ -377,6 +424,7 @@ def main():
         ("mala", bench_mala),
         ("ram_warmup", bench_ram_warmup),
         ("emcee", bench_emcee),
+        ("demc", bench_demc),
         ("mtm", bench_mtm),
         ("am", bench_am),
         ("barker", bench_barker),
@@ -387,10 +435,12 @@ def main():
         ("barker_fused", bench_barker_fused),
         ("tempering_fused", bench_tempering_fused),
         ("emcee_fused", bench_emcee_fused),
+        ("demc_fused", bench_demc_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):
         out[name] = fn()
-        unit = "walker-steps" if "emcee" in name else "chain-steps"
+        unit = ("walker-steps" if "emcee" in name else
+                "member-steps" if "demc" in name else "chain-steps")
         print(f"{name}: {out[name]/1e6:.1f} M {unit}/s", flush=True)
     print(json.dumps(out))
 
