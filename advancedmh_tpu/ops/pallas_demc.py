@@ -10,6 +10,10 @@ x_{r1} − x_{r2}, which collapses into a **single one-hot-difference matmul**:
 — one (H×H) f32 matmul per half-move instead of emcee's one-hot gather,
 with r2 bumped past r1 so the pair is always distinct.
 
+Snooker updates (ter Braak-Vrugt 2008) cost one more one-hot matmul (the z
+gather) plus two sublane reductions, compiled in only when
+``snooker_probability > 0`` so the default kernel is unchanged.
+
 Each chain tile of ``tile_members`` members is an independent population
 (set ``tile_members = n_members`` for exact single-population semantics);
 γ=1 mode-jump moves are taken stochastically per member with probability
@@ -39,6 +43,8 @@ def _demc_kernel(
     gamma: float,
     noise_scale: float,
     jump_probability: float,
+    snooker_probability: float,
+    snooker_gamma: float,
     burn: int,
     thin: int,
     n_groups: int,
@@ -81,10 +87,49 @@ def _demc_kernel(
         gm = jnp.where(uj < pjump_f, jnp.float32(1.0), gamma_f)  # (1, H)
         z1, _ = _normal_pair((d, H))
         y = active + gm * diff + noise_f * z1
+        log_ratio = jnp.zeros((1, H), jnp.float32)
+
+        if snooker_probability > 0.0:
+            # Snooker update (ter Braak-Vrugt 2008): y = x + γ_s(diff·ê)ê
+            # along ê = (x − x_z)/‖x − x_z‖, Hastings ‖y−z‖^{d−1}/‖x−z‖^{d−1}.
+            # One extra one-hot matmul gathers x_z; the projection is a pair
+            # of axis-0 (sublane) reductions.
+            uz = _uniform_from_bits(pltpu.prng_random_bits((1, H)))
+            rz = jnp.floor(uz * (H - 2)).astype(jnp.int32)  # in [0, H-2)
+            lo, hi = jnp.minimum(r1, r2), jnp.maximum(r1, r2)
+            rz = rz + (rz >= lo).astype(jnp.int32)
+            rz = rz + (rz >= hi).astype(jnp.int32)
+            pz = (rows_iota == rz).astype(jnp.float32)
+            xz = jax.lax.dot_general(
+                other, pz, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, H)
+            e = active - xz
+            ee = jnp.sum(e * e, axis=0, keepdims=True)  # (1, H)
+            de = jnp.sum(diff * e, axis=0, keepdims=True)
+            safe = ee > jnp.float32(1e-30)
+            coef = jnp.float32(snooker_gamma) * de * jnp.where(
+                safe, 1.0 / jnp.maximum(ee, jnp.float32(1e-30)), 0.0
+            )
+            y_s = active + coef * e
+            ey = y_s - xz
+            ee_y = jnp.sum(ey * ey, axis=0, keepdims=True)
+            log_j = jnp.where(
+                safe & (ee_y > jnp.float32(1e-30)),
+                jnp.float32(0.5 * (d - 1))
+                * (jnp.log(jnp.maximum(ee_y, jnp.float32(1e-30)))
+                   - jnp.log(jnp.maximum(ee, jnp.float32(1e-30)))),
+                jnp.float32(-1e30),  # not -inf: keeps streaming sums NaN-free
+            )
+            us = _uniform_from_bits(pltpu.prng_random_bits((1, H)))
+            snooker = us < jnp.float32(snooker_probability)
+            y = jnp.where(jnp.broadcast_to(snooker, (d, H)), y_s, y)
+            log_ratio = jnp.where(snooker, log_j, log_ratio)
+
         lp_y = logdensity_tile_fn(y, *consts)  # (1, H)
-        # Symmetric proposal given the frozen half → logα = Δlp.
+        # Symmetric given the frozen half (+ snooker Hastings term).
         u = _uniform_from_bits(pltpu.prng_random_bits((1, H)))
-        accept = jnp.log(u) < lp_y - active_lp
+        accept = jnp.log(u) < lp_y - active_lp + log_ratio
         mask = jnp.broadcast_to(accept, (d, H))
         return (
             jnp.where(mask, y, active),
@@ -142,6 +187,8 @@ def fused_demc_sample(
     gamma: float,
     noise_scale: float = 1e-4,
     jump_probability: float = 0.1,
+    snooker_probability: float = 0.0,
+    snooker_gamma: float = 1.683,
     burn: int = 0,
     thin: int = 1,
     consts: Tuple[jax.Array, ...] = (),
@@ -171,6 +218,8 @@ def fused_demc_sample(
         gamma=float(gamma),
         noise_scale=float(noise_scale),
         jump_probability=float(jump_probability),
+        snooker_probability=float(snooker_probability),
+        snooker_gamma=float(snooker_gamma),
         burn=burn,
         thin=thin,
         n_groups=n_groups,

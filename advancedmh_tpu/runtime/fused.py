@@ -891,6 +891,8 @@ def sample_fused_demc(
         tile_fn, d=d, n_samples=n_samples,
         gamma=sampler._gamma(d), noise_scale=sampler.noise_scale,
         jump_probability=sampler.jump_probability,
+        snooker_probability=sampler.snooker_probability,
+        snooker_gamma=sampler.snooker_gamma,
         burn=burn, thin=thinning, consts=consts, tile_members=tile_members,
     )
     if mesh is not None:

@@ -61,6 +61,60 @@ class TestPosterior:
         np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.2)
 
 
+class TestSnooker:
+    def test_conjugate_means_with_snooker(self):
+        """Mixing 30% snooker updates preserves the analytic posterior —
+        a wrong ‖y−z‖^{d−1}/‖x−z‖^{d−1} Hastings factor shows up here as
+        moment bias."""
+        model = DensityModel(_logprob_untransformed)
+        spl = DifferentialEvolution(
+            1000, [InverseGamma(2.0, 3.0), Normal(0.0, 1.0)],
+            snooker_probability=0.3,
+        )
+        res = sample(model, spl, 1000, key=100, discard_initial=200)
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert abs(draws[:, 0].mean() - S_TRUE) < 0.1
+        assert abs(draws[:, 1].mean() - M_TRUE) < 0.1
+
+    def test_snooker_heavy_covariance(self):
+        """Snooker-dominated mixing (70%) still recovers a correlated Σ in
+        d=3 — exercises the d−1 norm exponent (d>2 matters)."""
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(3, 3)).astype(np.float32)
+        cov = a @ a.T + 0.5 * np.eye(3, dtype=np.float32)
+        prec = jnp.asarray(np.linalg.inv(cov))
+        model = DensityModel(lambda th: -0.5 * th @ prec @ th, dimension=3)
+        spl = DifferentialEvolution(
+            512, MvNormal.standard(3), snooker_probability=0.7
+        )
+        res = sample(model, spl, 3000, key=9, discard_initial=1000)
+        draws = np.asarray(res.transitions.params).reshape(-1, 3)
+        np.testing.assert_allclose(
+            np.cov(draws.T), cov, atol=0.35 * float(np.abs(cov).max())
+        )
+
+    def test_snooker_pytree_params(self):
+        """The line projection dots/norms reduce over ALL leaves jointly."""
+        model = DensityModel(
+            lambda th: Normal(0.0, 1.0).log_prob(th["a"])
+            + jnp.sum(Normal(0.0, 1.0).log_prob(th["b"]))
+        )
+        spl = DifferentialEvolution(
+            64, {"a": Normal(0.0, 1.0), "b": MvNormal.standard(3)},
+            snooker_probability=0.4,
+        )
+        res = sample(model, spl, 400, key=3, discard_initial=150)
+        a = np.asarray(res.transitions.params["a"])
+        b = np.asarray(res.transitions.params["b"])
+        assert abs(a.mean()) < 0.15
+        assert abs(float(a.var()) - 1.0) < 0.3
+        assert abs(b.mean()) < 0.15
+
+    def test_bad_probability_raises(self):
+        with pytest.raises(ValueError, match="snooker_probability"):
+            DifferentialEvolution(8, Normal(0.0, 1.0), snooker_probability=1.5)
+
+
 class TestMechanics:
     def test_member_shapes(self):
         model = DensityModel(_logprob_untransformed)

@@ -232,6 +232,29 @@ class TestFusedRWMH:
         assert abs(draws_t[:, 0].mean() - 49.0 / 24.0) < 0.12
         assert abs(draws_t[:, 1].mean() - 7.0 / 6.0) < 0.12
 
+    def test_sample_engine_fused_demc_snooker(self):
+        """Snooker-mixed fused DE-MC: the in-kernel ‖y−z‖^{d−1}/‖x−z‖^{d−1}
+        Hastings factor preserves the analytic posterior (a wrong Jacobian
+        biases these means)."""
+        import numpy as np
+
+        from advancedmh_tpu import DifferentialEvolution, InverseGamma, Normal, sample
+        from advancedmh_tpu.models.targets import emcee_demo_model
+
+        model = emcee_demo_model()
+        spl = DifferentialEvolution(
+            1024, [InverseGamma(2.0, 3.0), Normal(0.0, 1.0)],
+            snooker_probability=0.3,
+        )
+        res = sample(
+            model, spl, 1000, key=100, engine="fused", discard_initial=200,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert abs(draws[:, 0].mean() - 49.0 / 24.0) < 0.1
+        assert abs(draws[:, 1].mean() - 7.0 / 6.0) < 0.1
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert 0.1 < acc < 0.9
+
     def test_sample_engine_fused_emcee(self):
         """Fused emcee engine: MXU one-hot partner gather recovers the
         analytic posterior means s̄ = 49/24, m̄ = 7/6 (≙ test/emcee.jl) and
