@@ -85,7 +85,8 @@ from .runtime import (
     load_state,
 )
 from .output import Chains, StructArray, chainscat
-from .diagnostics import ess, ess_bulk, ess_tail, rhat, rhat_rank, mcse
+from .diagnostics import (ess, ess_bulk, ess_tail, integrated_autocorr_time,
+                          mcse, rhat, rhat_rank)
 from .parallel import make_mesh, chain_sharding
 
 __version__ = "0.1.0"
@@ -118,6 +119,7 @@ __all__ = [
     "save_state", "load_state",
     # output / diagnostics
     "Chains", "StructArray", "chainscat", "ess", "ess_bulk", "ess_tail",
+    "integrated_autocorr_time",
     "rhat", "rhat_rank", "mcse",
     # parallel
     "make_mesh", "chain_sharding",

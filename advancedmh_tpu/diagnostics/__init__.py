@@ -1,3 +1,5 @@
-from .ess import ess, ess_bulk, ess_tail, rhat, rhat_rank, mcse
+from .ess import (ess, ess_bulk, ess_tail, integrated_autocorr_time, mcse,
+                  rhat, rhat_rank)
 
-__all__ = ["ess", "ess_bulk", "ess_tail", "rhat", "rhat_rank", "mcse"]
+__all__ = ["ess", "ess_bulk", "ess_tail", "integrated_autocorr_time",
+           "mcse", "rhat", "rhat_rank"]

@@ -131,3 +131,34 @@ def rhat_rank(x: jax.Array) -> jax.Array:
     bulk = rhat(_rank_normalize(x))
     folded = rhat(_rank_normalize(jnp.abs(x - jnp.median(x))))
     return jnp.maximum(bulk, folded)
+
+
+# -- integrated autocorrelation time (Sokal window) --------------------------
+
+
+def integrated_autocorr_time(
+    x: jax.Array, c: float = 5.0
+) -> jax.Array:
+    """Integrated autocorrelation time τ of draws ``x`` shaped (N,) or
+    (N, C) — the ensemble-MCMC convergence diagnostic of Goodman-Weare 2010
+    §3 / Sokal 1997 (what emcee exposes as ``get_autocorr_time``; chains or
+    walkers both average the same way).
+
+    The per-chain autocorrelation functions are averaged, then
+    τ(M) = 1 + 2·Σ_{t≤M} ρ(t) is evaluated at the smallest Sokal window M
+    with M ≥ c·τ(M) (c = 5 is the emcee default). A run is trusted when
+    N ≳ 50·τ; below that the estimate itself is noisy — callers should
+    compare τ against ``x.shape[0] / 50`` (we return τ rather than raising,
+    so the check composes with jit).
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    acov = _autocov(x)  # (N, C), per-chain
+    rho = jnp.mean(acov / acov[0], axis=1)  # ensemble-averaged ACF, ρ(0)=1
+    taus = 2.0 * jnp.cumsum(rho) - 1.0  # τ(M) including t=0 term once
+    m = jnp.arange(n, dtype=taus.dtype)
+    windowed = m >= c * taus
+    # smallest window satisfying the Sokal criterion; fall back to N−1
+    idx = jnp.where(jnp.any(windowed), jnp.argmax(windowed), n - 1)
+    return jnp.maximum(taus[idx], 1.0)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diagnostics import ess, mcse, rhat
+from ..diagnostics import ess, integrated_autocorr_time, mcse, rhat
 
 
 class Chains:
@@ -123,6 +123,16 @@ class Chains:
                 "rhat": float(rhat(x)),
             }
         return out
+
+    def autocorr_time(self, c: float = 5.0) -> Dict[str, float]:
+        """Per-parameter integrated autocorrelation time τ (Sokal window;
+        ≙ emcee's ``get_autocorr_time`` for ensemble runs — chains/walkers
+        average identically). Estimates are trustworthy when the run length
+        is ≳ 50·τ."""
+        return {
+            name: float(integrated_autocorr_time(self.values[:, i, :], c=c))
+            for i, name in enumerate(self.names)
+        }
 
     DEFAULT_QUANTILES = (0.025, 0.25, 0.5, 0.75, 0.975)
 

@@ -178,6 +178,44 @@ class TestDiagnostics:
         e = float(ess(x))
         assert 0.5 * 16000 < e < 1.6 * 16000
 
+    def test_autocorr_time_ar1(self):
+        """AR(1) with coefficient φ has τ = (1+φ)/(1−φ) exactly (Sokal
+        1997) — φ=0.9 → τ=19; ensemble averaging over 32 walkers keeps the
+        FFT estimate tight."""
+        from advancedmh_tpu import integrated_autocorr_time
+
+        phi, n, w = 0.9, 20000, 32
+        rng = np.random.default_rng(0)
+        eps = rng.normal(size=(n, w)).astype(np.float32)
+        x = np.zeros((n, w), np.float32)
+        for t in range(1, n):
+            x[t] = phi * x[t - 1] + eps[t]
+        tau = float(integrated_autocorr_time(jnp.asarray(x)))
+        assert abs(tau - 19.0) / 19.0 < 0.2
+
+    def test_autocorr_time_white_noise_is_one(self):
+        from advancedmh_tpu import integrated_autocorr_time
+
+        x = jax.random.normal(jax.random.key(1), (8000, 8))
+        tau = float(integrated_autocorr_time(x))
+        assert tau < 1.5
+
+    def test_chains_autocorr_time(self):
+        from advancedmh_tpu import MvNormal, RWMH, sample
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+        model = gaussian_mean_scale_model()
+        ch = sample(
+            model, RWMH(MvNormal(jnp.zeros(2), scale=0.35)), 2000,
+            key=0, num_chains=16, chain_type="chains",
+            param_names=["mu", "sigma"],
+            initial_params=jnp.asarray([0.0, 1.0]),
+        )
+        taus = ch.autocorr_time()
+        assert set(taus) == {"mu", "sigma"}
+        # RWMH at the RR-optimal scale mixes in O(10) steps on this target
+        assert 1.0 <= taus["mu"] < 60.0
+
     def test_rhat_iid_close_to_one(self):
         x = jax.random.normal(jax.random.key(1), (4000, 4))
         assert abs(float(rhat(x)) - 1.0) < 0.02
