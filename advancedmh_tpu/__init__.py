@@ -58,6 +58,7 @@ from .samplers import (
     RobustAdaptiveMetropolisState,
     Ensemble,
     StretchProposal,
+    WalkProposal,
     ReplicaExchange,
     swap_rates,
     tune_betas,
@@ -107,7 +108,8 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "Ensemble", "StretchProposal", "ReplicaExchange", "swap_rates", "tune_betas",
+    "Ensemble", "StretchProposal", "WalkProposal", "ReplicaExchange",
+    "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "DifferentialEvolution",

@@ -5,6 +5,7 @@ from .core import (
     SymmetricStaticProposal,
     SymmetricRandomWalkProposal,
     propose,
+    as_static_proposal_tree,
     propose_initial,
     q,
     logratio_proposal_density,
@@ -18,6 +19,7 @@ __all__ = [
     "SymmetricStaticProposal",
     "SymmetricRandomWalkProposal",
     "propose",
+    "as_static_proposal_tree",
     "propose_initial",
     "q",
     "logratio_proposal_density",

@@ -78,6 +78,22 @@ def is_proposal(x: Any) -> bool:
     return isinstance(x, Proposal)
 
 
+def as_static_proposal_tree(payload):
+    """Wrap each Distribution (or Distribution-sequence / callable) leaf of
+    a payload pytree in a StaticProposal, so dict/tuple payloads compose the
+    same way tree proposals do (the ensemble/population samplers use this
+    for their initial per-member prior draws)."""
+
+    def is_leaf(x):
+        return (
+            isinstance(x, Distribution)
+            or _is_dist_seq(x)
+            or callable(x)
+        )
+
+    return jax.tree_util.tree_map(StaticProposal, payload, is_leaf=is_leaf)
+
+
 # ---------------------------------------------------------------------------
 # Payload-level sample / log_prob (≙ Base.rand / Distributions.logpdf on
 # Proposal, src/proposal.jl:24-35)

@@ -779,7 +779,14 @@ def sample_fused_emcee(
     (parallel/emcee.py, all_gather of the complementary half over ICI) when
     full-ensemble partner mixing matters."""
     from ..ops.pallas_emcee import fused_emcee_sample
+    from ..samplers.emcee import StretchProposal
 
+    if not isinstance(sampler.proposal, StretchProposal):
+        raise NotImplementedError(
+            "engine='fused' emcee supports StretchProposal only; the walk "
+            "move needs O(n_walkers) fresh normals per walker-step (use the "
+            "XLA engine, which is what emcee-scale walker counts want anyway)"
+        )
     W = sampler.n_walkers
     per_device = W if mesh is None else W // mesh.shape[mesh_axis]
     if mesh is not None and W % mesh.shape[mesh_axis] != 0:

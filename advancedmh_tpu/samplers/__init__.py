@@ -10,7 +10,7 @@ from .base import (
 from .mh import MetropolisHastings, StaticMH, RWMH
 from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
-from .emcee import Ensemble, StretchProposal
+from .emcee import Ensemble, StretchProposal, WalkProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
@@ -35,6 +35,7 @@ __all__ = [
     "RobustAdaptiveMetropolisState",
     "Ensemble",
     "StretchProposal",
+    "WalkProposal",
     "ReplicaExchange",
     "ReplicaExchangeState",
     "swap_rates",

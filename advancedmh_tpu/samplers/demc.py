@@ -39,29 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..distributions import Distribution
 from ..models.density import as_model, logdensity
-from ..proposals import StaticProposal, propose_initial
+from ..proposals import as_static_proposal_tree, propose_initial
 from ..utils import KeyArray
 from .base import Sampler, Transition
-
-
-def _as_static_tree(payload):
-    """Wrap each Distribution (or Distribution-sequence / callable) leaf of a
-    payload pytree in a StaticProposal, so dict/tuple payloads compose the
-    same way tree proposals do (proposals/core.py container convention)."""
-
-    def is_leaf(x):
-        return (
-            isinstance(x, Distribution)
-            or (
-                isinstance(x, (list, tuple))
-                and all(isinstance(p, Distribution) for p in x)
-            )
-            or callable(x)
-        )
-
-    return jax.tree_util.tree_map(StaticProposal, payload, is_leaf=is_leaf)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,7 +101,7 @@ class DifferentialEvolution(Sampler):
         model = as_model(model)
         if initial_params is None:
             keys = jax.random.split(key, self.n_members)
-            static = _as_static_tree(self.payload)
+            static = as_static_proposal_tree(self.payload)
             params = jax.vmap(lambda k: propose_initial(k, static))(keys)
         else:
             params = initial_params

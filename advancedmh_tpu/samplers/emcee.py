@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.density import as_model, logdensity
-from ..proposals import StaticProposal, propose_initial
+from ..proposals import as_static_proposal_tree, propose_initial
 from ..utils import KeyArray
 from .base import Sampler, Transition
 
@@ -48,11 +48,32 @@ class StretchProposal:
 
 
 @dataclasses.dataclass(frozen=True)
+class WalkProposal:
+    """Goodman-Weare 2010 *walk move* (beyond-parity; the reference has only
+    the stretch move — this is emcee's ``WalkMove`` companion).
+
+    Each walker proposes x' = x + scale·W with W = (1/√H)·Σ_j z_j(x_j − x̄)
+    summed over the whole frozen complementary half (z_j iid N(0,1)), i.e. a
+    Gaussian whose covariance is the (biased) sample covariance of the frozen
+    half times ``scale``² — affine-invariant and self-tuning like the stretch
+    move, but with a full-covariance Gaussian shape. Symmetric given the
+    frozen half, so acceptance is plain Δlp (no Jacobian term).
+
+    ``payload`` seeds the initial per-walker prior draws, as in
+    StretchProposal.
+    """
+
+    payload: Any
+    scale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class Ensemble(Sampler):
-    """≙ ``Ensemble(n_walkers, proposal)`` (src/emcee.jl:1-4)."""
+    """≙ ``Ensemble(n_walkers, proposal)`` (src/emcee.jl:1-4). ``proposal``
+    is a :class:`StretchProposal` or :class:`WalkProposal`."""
 
     n_walkers: int
-    proposal: StretchProposal
+    proposal: Any
 
     is_population = True
 
@@ -76,7 +97,7 @@ class Ensemble(Sampler):
         model = as_model(model)
         if initial_params is None:
             keys = jax.random.split(key, self.n_walkers)
-            static = StaticProposal(self.proposal.payload)
+            static = as_static_proposal_tree(self.proposal.payload)
             params = jax.vmap(lambda k: propose_initial(k, static))(keys)
         else:
             params = initial_params
@@ -91,10 +112,40 @@ class Ensemble(Sampler):
         return t, t
 
     def _half_move(self, key, active_params, active_lp, other_params, other_lp, model):
-        """Parallel stretch move of one half against the frozen other half
-        (≙ ``move``, src/emcee.jl:70-102, vectorized over the half)."""
+        """Parallel move of one half against the frozen other half
+        (stretch ≙ ``move``, src/emcee.jl:70-102, vectorized over the half;
+        walk = GW10 walk move, one (H_a × H_o) einsum per leaf)."""
         n_active = jax.tree_util.tree_leaves(active_lp)[0].shape[0]
         n_other = jax.tree_util.tree_leaves(other_lp)[0].shape[0]
+
+        if isinstance(self.proposal, WalkProposal):
+            key_z, key_acc = jax.random.split(key)
+            # One z_j per (active walker, frozen walker), SHARED across
+            # leaves/dims — the walk direction couples the whole tree.
+            z = jax.random.normal(key_z, (n_active, n_other))
+            coef = self.proposal.scale / jnp.sqrt(float(n_other))
+
+            def walk(xi, xo):
+                c = xo - jnp.mean(xo, axis=0, keepdims=True)  # centered
+                w = jnp.einsum(
+                    "ao,o...->a...", z, c.reshape(n_other, -1)
+                ).reshape(xi.shape)
+                return xi + coef * w
+
+            y = jax.tree_util.tree_map(walk, active_params, other_params)
+            lp_y = jax.vmap(lambda p: logdensity(model, p))(y)
+            logalpha = lp_y - active_lp  # symmetric given the frozen half
+            accepted = -jax.random.exponential(key_acc, (n_active,)) <= logalpha
+            new_params = jax.tree_util.tree_map(
+                lambda yy, pp: jnp.where(
+                    accepted.reshape((n_active,) + (1,) * (yy.ndim - 1)),
+                    yy, pp,
+                ),
+                y,
+                active_params,
+            )
+            return new_params, jnp.where(accepted, lp_y, active_lp), accepted
+
         a = self.proposal.stretch_length
         ndim = self._dim_of(active_params)
 

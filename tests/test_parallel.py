@@ -44,6 +44,23 @@ class TestShardedEmcee:
                 spl, DensityModel(lambda x: Normal(0.0, 1.0).log_prob(x[0])), mesh
             )
 
+    def test_walk_move_sharded(self, mesh):
+        """WalkProposal under walker sharding: the all_gather hands each
+        device the FULL frozen half, so the walk covariance matches the
+        unsharded sampler and the analytic means are recovered."""
+        from advancedmh_tpu import WalkProposal
+
+        spl = Ensemble(
+            256, WalkProposal([InverseGamma(2.0, 3.0), Normal(0.0, 1.0)])
+        )
+        model = DensityModel(_logprob_untransformed)
+        params, lp, acc = sharded_ensemble_sample(
+            spl, model, 2200, jax.random.key(4), mesh
+        )
+        draws = np.asarray(params[1200:]).reshape(-1, 2)
+        assert abs(draws[:, 0].mean() - S_TRUE) < 0.12
+        assert abs(draws[:, 1].mean() - M_TRUE) < 0.12
+
     def test_posterior_means_sharded(self, mesh):
         """The sharded red-black sampler recovers the emcee test posterior
         (≙ reference test/emcee.jl analytic means)."""
