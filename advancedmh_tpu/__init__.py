@@ -57,6 +57,7 @@ from .samplers import (
     RobustAdaptiveMetropolis,
     RobustAdaptiveMetropolisState,
     Ensemble,
+    DelayedRejection,
     StretchProposal,
     WalkProposal,
     ReplicaExchange,
@@ -108,7 +109,8 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "Ensemble", "StretchProposal", "WalkProposal", "ReplicaExchange",
+    "DelayedRejection", "Ensemble", "StretchProposal", "WalkProposal",
+    "ReplicaExchange",
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",

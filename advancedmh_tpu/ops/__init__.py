@@ -2,6 +2,7 @@ from .cholesky import chol_rank1_update, chol_rank1_update_batched
 from .pallas_am import fused_am_sample
 from .pallas_barker import fused_barker_sample
 from .pallas_demc import fused_demc_sample
+from .pallas_dr import fused_dr_sample
 from .pallas_emcee import fused_emcee_sample
 from .pallas_mala import fused_mala_sample
 from .pallas_mh import fused_rwmh, fused_rwmh_sample, tile_fn_from_batched
@@ -15,6 +16,7 @@ __all__ = [
     "fused_am_sample",
     "fused_barker_sample",
     "fused_demc_sample",
+    "fused_dr_sample",
     "fused_emcee_sample",
     "fused_mala_sample",
     "fused_rwmh",

@@ -34,7 +34,11 @@ def _extract_rw_scale(sampler, d: int) -> np.ndarray:
     symmetric Gaussian random walk."""
     if not isinstance(sampler, MetropolisHastings):
         raise ValueError("engine='fused' supports MetropolisHastings only")
-    p = sampler.proposal
+    return _rw_leaf_scale(sampler.proposal, d)
+
+
+def _rw_leaf_scale(p, d: int) -> np.ndarray:
+    """Scale of a single zero-mean Gaussian RandomWalkProposal leaf."""
     if not is_proposal(p) or not isinstance(p, RandomWalkProposal):
         raise ValueError(
             "engine='fused' requires a single RandomWalkProposal leaf"
@@ -941,24 +945,41 @@ def sample_fused(
     """Run the fused Pallas sampling engine; returns the raw pieces in the
     standard (chains, samples, ...) layout. Dispatches the MTM variant
     (ops/pallas_mtm.py) when the sampler is a MultipleTryMetropolis."""
+    from ..ops.pallas_dr import fused_dr_sample
     from ..ops.pallas_mh import fused_rwmh_sample
     from ..ops.pallas_mtm import fused_mtm_sample
+    from ..samplers.dr import DelayedRejection
     from ..samplers.mtm import MultipleTryMetropolis
 
     d = model.dimension
     if d is None:
         d = int(np.asarray(initial_params).shape[-1])
-    scale = _extract_rw_scale(sampler, d)
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    if isinstance(sampler, MultipleTryMetropolis):
+    if isinstance(sampler, DelayedRejection):
+        s1 = _rw_leaf_scale(sampler.first, d)
+        s2 = _rw_leaf_scale(sampler.second, d)
+        if s1.ndim == 2 or s2.ndim == 2:
+            raise ValueError(
+                "engine='fused' DR supports scalar/per-dim stage scales; "
+                "full-covariance stages need the XLA engine (the q1 cross "
+                "distance would need an in-kernel triangular solve)."
+            )
+        run = fused_dr_sample(
+            tile_fn, d=d, scale1=s1, scale2=s2, n_samples=n_samples,
+            burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+        )
+        scale = None
+    elif isinstance(sampler, MultipleTryMetropolis):
+        scale = _extract_rw_scale(sampler, d)
         run = fused_mtm_sample(
             tile_fn, d=d, scale=scale, k=sampler.k, n_samples=n_samples,
             burn=burn, thin=thinning, consts=consts, tile_chains=tile,
         )
     else:
+        scale = _extract_rw_scale(sampler, d)
         run = fused_rwmh_sample(
             tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
             thin=thinning, consts=consts, tile_chains=tile,

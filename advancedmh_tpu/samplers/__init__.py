@@ -10,6 +10,7 @@ from .base import (
 from .mh import MetropolisHastings, StaticMH, RWMH
 from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
+from .dr import DelayedRejection
 from .emcee import Ensemble, StretchProposal, WalkProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
@@ -34,6 +35,7 @@ __all__ = [
     "RobustAdaptiveMetropolis",
     "RobustAdaptiveMetropolisState",
     "Ensemble",
+    "DelayedRejection",
     "StretchProposal",
     "WalkProposal",
     "ReplicaExchange",

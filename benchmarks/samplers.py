@@ -230,6 +230,48 @@ def bench_emcee_fused(W=16384, n=4000):
     return W * n / best
 
 
+def bench_dr(C=16384, n=2000):
+    from advancedmh_tpu import DelayedRejection, MvNormal, RandomWalkProposal, Transition
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = DelayedRejection(
+        RandomWalkProposal(MvNormal(jnp.zeros(2), scale=0.5), symmetric=True),
+        RandomWalkProposal(MvNormal(jnp.zeros(2), scale=0.1), symmetric=True),
+    )
+    master = jax.random.key(0)
+    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (C, 1))
+    state = Transition(params, jax.vmap(model.logdensity_fn)(params),
+                       jnp.zeros((C,), bool))
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_dr_fused(C=16384, n=4000):
+    """Fused delayed-rejection engine (TPU only): 2 densities + 2 Gaussian
+    draws per step, stage-2 masked in-kernel."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_dr_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_dr_sample(
+        model.tile_density, d=2, scale1=0.5, scale2=0.1, n_samples=n,
+        burn=0, thin=1, consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+
+    def go(seed):
+        s, lp, a = run(x_t, lp0, seed)
+        return float(lp[-1, 0, 0])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_demc(M=16384, n=2000):
     from advancedmh_tpu import DifferentialEvolution, InverseGamma, Normal
     from advancedmh_tpu.models.targets import emcee_demo_model
@@ -425,6 +467,7 @@ def main():
         ("ram_warmup", bench_ram_warmup),
         ("emcee", bench_emcee),
         ("demc", bench_demc),
+        ("dr", bench_dr),
         ("mtm", bench_mtm),
         ("am", bench_am),
         ("barker", bench_barker),
@@ -436,6 +479,7 @@ def main():
         ("tempering_fused", bench_tempering_fused),
         ("emcee_fused", bench_emcee_fused),
         ("demc_fused", bench_demc_fused),
+        ("dr_fused", bench_dr_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):
         out[name] = fn()

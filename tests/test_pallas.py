@@ -200,6 +200,45 @@ class TestFusedRWMH:
         want = -(np.linalg.inv(SIG) @ x.T).T
         np.testing.assert_allclose(grad, want, rtol=1e-3, atol=1e-3)
 
+    def test_sample_engine_fused_dr(self):
+        """Fused delayed-rejection engine: a hopeless bold stage (scale 8)
+        funnels accepted moves through stage 2 — the in-kernel (1−α₁) ratio
+        and q₁ cross distance must keep the posterior exact, and acceptance
+        must stay healthy where plain RWMH at scale 8 would stall."""
+        import numpy as np
+
+        from advancedmh_tpu import (
+            DelayedRejection, MvNormal, RandomWalkProposal, sample,
+        )
+        from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+        model = gaussian_mean_scale_model(n_obs=300)
+        spl = DelayedRejection(
+            RandomWalkProposal(MvNormal(jnp.zeros(2), scale=8.0), symmetric=True),
+            RandomWalkProposal(MvNormal(jnp.zeros(2), scale=0.15), symmetric=True),
+        )
+        res = sample(
+            model, spl, 1500, key=0, num_chains=2048, engine="fused",
+            initial_params=jnp.asarray([0.0, 1.0]), discard_initial=500,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert abs(draws[:, 0].mean()) < 0.1
+        assert abs(draws[:, 1].mean() - 1.0) < 0.1
+        acc = np.asarray(res.transitions.accepted).mean()
+        # stage-2 rescues what scale-8 RWMH would reject (acc ≈ 0.002 there;
+        # measured ≈ 0.17 — the 0.15 timid scale is ~2.6 posterior sds on
+        # this tight 300-obs posterior)
+        assert acc > 0.1
+        # thin>1 selects a different in-kernel loop structure — probe it
+        res_t = sample(
+            model, spl, 300, key=1, num_chains=1024, engine="fused",
+            initial_params=jnp.asarray([0.0, 1.0]), discard_initial=300,
+            thinning=3,
+        )
+        draws_t = np.asarray(res_t.transitions.params).reshape(-1, 2)
+        assert abs(draws_t[:, 0].mean()) < 0.12
+        assert abs(draws_t[:, 1].mean() - 1.0) < 0.12
+
     def test_sample_engine_fused_demc(self):
         """Fused DE-MC engine: one-hot-difference MXU gather recovers the
         analytic posterior means s̄ = 49/24, m̄ = 7/6 (same fixture as the
