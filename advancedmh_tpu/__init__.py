@@ -57,6 +57,7 @@ from .samplers import (
     RobustAdaptiveMetropolis,
     RobustAdaptiveMetropolisState,
     Ensemble,
+    DRAM,
     DelayedRejection,
     StretchProposal,
     WalkProposal,
@@ -109,7 +110,7 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "DelayedRejection", "Ensemble", "StretchProposal", "WalkProposal",
+    "DRAM", "DelayedRejection", "Ensemble", "StretchProposal", "WalkProposal",
     "ReplicaExchange",
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",

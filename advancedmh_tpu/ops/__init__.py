@@ -3,6 +3,7 @@ from .pallas_am import fused_am_sample
 from .pallas_barker import fused_barker_sample
 from .pallas_demc import fused_demc_sample
 from .pallas_dr import fused_dr_sample
+from .pallas_dram import fused_dram_sample
 from .pallas_emcee import fused_emcee_sample
 from .pallas_mala import fused_mala_sample
 from .pallas_mh import fused_rwmh, fused_rwmh_sample, tile_fn_from_batched
@@ -17,6 +18,7 @@ __all__ = [
     "fused_barker_sample",
     "fused_demc_sample",
     "fused_dr_sample",
+    "fused_dram_sample",
     "fused_emcee_sample",
     "fused_mala_sample",
     "fused_rwmh",

@@ -1,28 +1,14 @@
-"""Fused Adaptive-Metropolis kernel (Pallas/TPU).
+"""Fused DRAM kernel (Pallas/TPU) — delayed rejection × adaptive Metropolis.
 
-Beyond-parity engine (no reference equivalent; complements ops/pallas_ram.py
-the way samplers/am.py complements samplers/ram.py). The entire
-Haario/Roberts-Rosenthal AM loop — mixture proposal (fixed N(0, 0.1²/d·I)
-component vs adapted N(0, 2.38²/d·Σₙ) component), log-density, accept, and
-the exact Welford covariance recurrence — runs VMEM-resident with the
-hardware PRNG.
+Companion to samplers/dram.py (Haario et al. 2006): per step, two adapted
+Gaussian stages (the second shrunk by γ), the Mira stage-2 acceptance, and
+the exact Welford Cholesky advance — all VMEM-resident. Because both stages
+share the same L, the q₁ cross term lives in z-space (samplers/dram.py
+docstring): dq = −½(‖z₁ − γz₂‖² − ‖z₁‖²) — no triangular solve.
 
-The covariance Σₙ is carried as its Cholesky factor L (samplers/am.py
-docstring derivation): the Welford step is the *always-positive* rank-1
-update
-
-    L_{n+1} = rank1_update( √(n/(n+1))·L,  (√n/(n+1))·δ ),  δ = x_{n+1} − μₙ,
-
-so unlike RAM's hyperbolic downdates no validity flag is needed — the sweep
-is a pure sequence of Givens rotations. Proposing from the adapted component
-is one d×d triangular matvec (unrolled FMAs on (1, TC) lane rows).
-
-Layout mirrors ops/pallas_ram.py: chains on the 128-wide lane axis, ``x``/
-``mean`` as ``(d, TC)`` row stacks, ``L`` row-major ``(d², TC)``, and the
-per-chain observation count ``n`` as an f32 ``(1, TC)`` row (exact for
-n < 2²⁴; AM adaptation continues through *all* steps, including emission —
-the 1/n diminishing weight is what preserves ergodicity, so unlike RAM there
-is no frozen phase).
+State layout and engine structure mirror ops/pallas_am.py (x/mean as (d, TC)
+row stacks, L row-major (d², TC), counts as f32 rows; adaptation continues
+through emission).
 """
 from __future__ import annotations
 
@@ -35,59 +21,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mh import _normal_pair, _uniform_from_bits
+from .pallas_am import _row_normals, _tri_matvec_rows, _welford_advance
+from .pallas_dr import _log1m_exp_f32
+from .pallas_mh import _uniform_from_bits
 
 
-def _row_normals(n_rows: int, tc: int):
-    """n_rows independent (1, tc) standard-normal rows (Box-Muller pairs)."""
-    out = []
-    for _ in range((n_rows + 1) // 2):
-        z1, z2 = _normal_pair((1, tc))
-        out.extend([z1, z2])
-    return out[:n_rows]
-
-
-def _tri_matvec_rows(L_rows, z, d: int):
-    """L·z for row-major lower-triangular L rows; unrolled FMAs."""
-    return [
-        sum(L_rows[r * d + c] * z[c] for c in range(r + 1)) for r in range(d)
-    ]
-
-
-def _chol_update_pos_rows(L_rows, v, d: int):
-    """Always-positive rank-1 Cholesky update (pure Givens sweep)."""
-    L = list(L_rows)
-    v = list(v)
-    for k in range(d):
-        Lkk = L[k * d + k]
-        vk = v[k]
-        r = jnp.sqrt(Lkk * Lkk + vk * vk)
-        c = r / Lkk
-        s = vk / Lkk
-        L[k * d + k] = r
-        for row in range(k + 1, d):
-            Lik = (L[row * d + k] + s * v[row]) / c
-            v[row] = c * v[row] - s * Lik
-            L[row * d + k] = Lik
-    return L
-
-
-def _welford_advance(x, mean, L_rows, n, d: int):
-    """Advance (mean, L, n) with realized state ``x`` (exact Welford)."""
-    n1 = n + 1.0
-    inv_n1 = 1.0 / n1
-    delta = [x[r] - mean[r] for r in range(d)]
-    mean = [mean[r] + delta[r] * inv_n1 for r in range(d)]
-    shrink = jnp.sqrt(n * inv_n1)
-    coeff = jnp.sqrt(n) * inv_n1
-    v = [coeff * delta[r] for r in range(d)]
-    L_rows = _chol_update_pos_rows(
-        [shrink * L_rows[r] for r in range(d * d)], v, d
-    )
-    return mean, L_rows, n1
-
-
-def _am_kernel(
+def _dram_kernel(
     seed_ref,  # (1, 1) int32 SMEM
     *rest,
     logdensity_tile_fn: Callable,
@@ -97,10 +36,8 @@ def _am_kernel(
     thin: int,
     n_samples: int,
     n_groups: int,
-    beta: float,
-    fixed_scale: float,
     opt_scale: float,
-    adapt_start: int,
+    gamma: float,
 ):
     const_refs = rest[:n_consts]
     (x_ref, lp_ref, mean_ref, L_ref, n_ref,
@@ -112,32 +49,40 @@ def _am_kernel(
     tc = x_ref.shape[1]
     E = out_x_ref.shape[0]
     consts = tuple(c[:] for c in const_refs)
-    fs = jnp.float32(fixed_scale / np.sqrt(d))
     os_ = jnp.float32(opt_scale / np.sqrt(d))
+    gm = jnp.float32(gamma)
 
     pltpu.prng_seed(seed_ref[0, 0] + i * (n_groups + 1) + g)
 
     def step(x, lp, mean, L_rows, n):
-        """One AM step; ``n`` is the per-chain f32 count of chain states
-        consumed so far (≥ 1)."""
-        z = _row_normals(d, tc)
-        Lz = _tri_matvec_rows(L_rows, z, d)
-        u = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
-        use_fixed = (u < beta) | (n <= jnp.float32(adapt_start))
-        y = [
-            x[r] + jnp.where(use_fixed, fs * z[r], os_ * Lz[r])
+        z1 = _row_normals(d, tc)
+        z2 = _row_normals(d, tc)
+        Lz1 = _tri_matvec_rows(L_rows, z1, d)
+        Lz2 = _tri_matvec_rows(L_rows, z2, d)
+        # Stage 1: bold adapted Gaussian (symmetric → α₁ = Δlp).
+        y1 = [x[r] + os_ * Lz1[r] for r in range(d)]
+        lp1 = logdensity_tile_fn(jnp.concatenate(y1, axis=0), *consts)
+        la1 = lp1 - lp
+        u1 = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
+        acc1 = jnp.log(u1) < la1
+        # Stage 2: γ-shrunk, evaluated unconditionally, masked in.
+        y2 = [x[r] + (gm * os_) * Lz2[r] for r in range(d)]
+        lp2 = logdensity_tile_fn(jnp.concatenate(y2, axis=0), *consts)
+        la1_rev = lp1 - lp2
+        dq = sum(
+            -0.5 * ((z1[r] - gm * z2[r]) ** 2 - z1[r] ** 2) for r in range(d)
+        )
+        la2 = (lp2 - lp + dq
+               + _log1m_exp_f32(la1_rev) - _log1m_exp_f32(la1))
+        u2 = _uniform_from_bits(pltpu.prng_random_bits((1, tc)))
+        acc2 = (jnp.log(u2) < la2) & (~acc1)
+        x = [
+            jnp.where(acc1, y1[r], jnp.where(acc2, y2[r], x[r]))
             for r in range(d)
         ]
-        y_mat = jnp.concatenate(y, axis=0)  # (d, TC)
-        lp_new = logdensity_tile_fn(y_mat, *consts)
-        logalpha = lp_new - lp  # mixture proposal is symmetric
-        e = -jnp.log(_uniform_from_bits(pltpu.prng_random_bits((1, tc))))
-        accept = e > -logalpha
-        x = [jnp.where(accept, y[r], x[r]) for r in range(d)]
-        lp = jnp.where(accept, lp_new, lp)
-        # Welford moment advance with the realized state (accepted or not)
+        lp = jnp.where(acc1, lp1, jnp.where(acc2, lp2, lp))
         mean, L_rows, n1 = _welford_advance(x, mean, L_rows, n, d)
-        return x, lp, mean, L_rows, n1, accept
+        return x, lp, mean, L_rows, n1, acc1 | acc2
 
     nx, nm, nl = d, d, d * d
 
@@ -171,8 +116,6 @@ def _am_kernel(
             sL_ref[r : r + 1] = L_rows[r]
         sn_ref[:] = n
 
-    # Group 0: initialize scratch from inputs and run the burn-in sweep
-    # (adaptation on, nothing emitted).
     @pl.when(g == 0)
     def _():
         x = [x_ref[r : r + 1] for r in range(d)]
@@ -182,7 +125,7 @@ def _am_kernel(
         n = n_ref[:]
 
         def bbody(_, flat):
-            x, lp, mean, L_rows, n, acc = unpack(flat)
+            x, lp, mean, L_rows, n, _a = unpack(flat)
             x, lp, mean, L_rows, n, accept = step(x, lp, mean, L_rows, n)
             return pack(x, lp, mean, L_rows, n, accept.astype(jnp.float32))
 
@@ -191,7 +134,6 @@ def _am_kernel(
         x, lp, mean, L_rows, n, _ = unpack(flat)
         store_state(x, lp, mean, L_rows, n)
 
-    # Emission: E thinned samples per grid step, adaptation continuing.
     x, lp, mean, L_rows, n = load_state()
 
     def ebody(e, flat):
@@ -199,11 +141,8 @@ def _am_kernel(
         x, lp, mean, L_rows, n, acc = unpack(flat)
         for _ in range(thin):  # static
             x, lp, mean, L_rows, n, accept = step(x, lp, mean, L_rows, n)
-            acc = accept.astype(jnp.float32)  # f32: i1 fori carries are fragile
-        # Padded emission slots (the last group rounds n_samples up to E)
-        # must not advance the chain: the final state IS the last emitted
-        # sample's state, so resume counts stay exact. f32 blend, not an
-        # i1 select — scalar-pred vector selects are fragile in Mosaic.
+            acc = accept.astype(jnp.float32)
+        # Padded slots must not advance the chain (≙ pallas_am.py ebody).
         m = (g * E + e < n_samples).astype(jnp.float32)
         new = pack(x, lp, mean, L_rows, n, acc)
         flat = tuple(m * a + (1.0 - m) * b for a, b in zip(new, old))
@@ -222,37 +161,27 @@ def _am_kernel(
     out_n_ref[:] = n
 
 
-def fused_am_sample(
+def fused_dram_sample(
     logdensity_tile_fn: Callable,
     d: int,
     n_samples: int,
     *,
     burn: int,
     thin: int = 1,
-    beta: float = 0.05,
-    fixed_scale: float = 0.1,
     opt_scale: float = 2.38,
-    adapt_start: int = None,
+    gamma: float = 0.2,
     consts: Tuple[jax.Array, ...] = (),
     tile_chains: int = 1024,
     samples_per_block: int = 32,
 ):
-    """Build the fused AM engine.
-
-    Returns ``fn(x_T (d, C), lp (1, C), mean (d, C), L (d*d, C), n (1, C),
-    seed) -> (samples (n_samples, d, C), lps (n_samples, 1, C), accepted
-    (n_samples, 1, C), mean_final (d, C), L_final (d*d, C), n_final (1, C))``.
-    ``burn`` adaptation steps run first and are discarded; adaptation then
-    continues through every emitted step (the AM contract — diminishing 1/n
-    weights keep it ergodic, samplers/am.py docstring).
-    """
+    """Build the fused DRAM engine — same I/O contract as fused_am_sample:
+    ``fn(x_T, lp, mean, L, n, seed) -> (samples, lps, accepted, mean_f, L_f,
+    n_f)``; adaptation runs through burn and emission alike."""
     if d > 8:
         raise ValueError(
-            "fused_am_sample statically unrolls the d×d sweep; supported "
+            "fused_dram_sample statically unrolls the d×d sweep; supported "
             f"for d <= 8 (got {d}). Use the XLA path for larger d."
         )
-    if adapt_start is None:
-        adapt_start = 2 * d
     consts = tuple(
         jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
         jnp.asarray(c, jnp.float32)
@@ -262,7 +191,7 @@ def fused_am_sample(
     n_groups = -(-n_samples // E)
     n_padded = n_groups * E
     kernel = functools.partial(
-        _am_kernel,
+        _dram_kernel,
         logdensity_tile_fn=logdensity_tile_fn,
         n_consts=len(consts),
         d=d,
@@ -270,10 +199,8 @@ def fused_am_sample(
         thin=thin,
         n_samples=n_samples,
         n_groups=n_groups,
-        beta=beta,
-        fixed_scale=fixed_scale,
         opt_scale=opt_scale,
-        adapt_start=int(adapt_start),
+        gamma=gamma,
     )
 
     @jax.jit
@@ -312,9 +239,9 @@ def fused_am_sample(
                 tout(d),
                 tout(1),
                 tout(1),
-                tin(d),  # final mean
-                tin(d * d),  # final L
-                tin(1),  # final n
+                tin(d),
+                tin(d * d),
+                tin(1),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_padded, d, c), jnp.float32),

@@ -295,11 +295,16 @@ def sample_fused_am(
     + exact Welford Cholesky-factor covariance adaptation, VMEM-resident.
     Adaptation continues through every step (the AM ergodicity contract), so
     resume (``initial_state`` via ``sample_chunked``) carries (mean, L, n)
-    straight back into the kernel — unlike RAM there is no frozen phase."""
+    straight back into the kernel — unlike RAM there is no frozen phase.
+
+    Also serves :class:`DRAM` (ops/pallas_dram.py): identical state plumbing,
+    the kernel swaps the mixture step for the two-stage DR step."""
     import math as _math
 
     from ..ops.pallas_am import fused_am_sample
+    from ..ops.pallas_dram import fused_dram_sample
     from ..samplers.am import AdaptiveMetropolisState
+    from ..samplers.dram import DRAM as _DRAM
 
     if initial_params is None:
         raise ValueError("engine='fused' requires initial_params")
@@ -314,12 +319,19 @@ def sample_fused_am(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
-    run = fused_am_sample(
-        tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
-        beta=sampler.beta, fixed_scale=sampler.fixed_scale,
-        opt_scale=sampler.opt_scale, adapt_start=sampler.adapt_start,
-        consts=consts, tile_chains=tile,
-    )
+    if isinstance(sampler, _DRAM):
+        run = fused_dram_sample(
+            tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
+            opt_scale=sampler.opt_scale, gamma=sampler.gamma,
+            consts=consts, tile_chains=tile,
+        )
+    else:
+        run = fused_am_sample(
+            tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
+            beta=sampler.beta, fixed_scale=sampler.fixed_scale,
+            opt_scale=sampler.opt_scale, adapt_start=sampler.adapt_start,
+            consts=consts, tile_chains=tile,
+        )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)

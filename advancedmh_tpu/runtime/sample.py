@@ -343,6 +343,7 @@ def sample(
 
     if engine == "fused":
         from ..samplers.am import AdaptiveMetropolis as _AM
+        from ..samplers.dram import DRAM as _DRAM
         from ..samplers.barker import Barker as _Barker
         from ..samplers.demc import DifferentialEvolution as _DEMC
         from ..samplers.emcee import Ensemble as _Ensemble
@@ -395,7 +396,7 @@ def sample(
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
                 resume_S = initial_state.S
-            elif isinstance(sampler, _AM):
+            elif isinstance(sampler, (_AM, _DRAM)):
                 initial_params = initial_state.x
                 resume_am = initial_state
             elif isinstance(sampler, _RE):
@@ -441,7 +442,7 @@ def sample(
                 iteration_offset=offset,
                 **mesh_kw,
             )
-        elif isinstance(sampler, _AM):
+        elif isinstance(sampler, (_AM, _DRAM)):
             transitions, final_state = sample_fused_am(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,

@@ -11,6 +11,7 @@ from .mh import MetropolisHastings, StaticMH, RWMH
 from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .dr import DelayedRejection
+from .dram import DRAM
 from .emcee import Ensemble, StretchProposal, WalkProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
@@ -35,6 +36,7 @@ __all__ = [
     "RobustAdaptiveMetropolis",
     "RobustAdaptiveMetropolisState",
     "Ensemble",
+    "DRAM",
     "DelayedRejection",
     "StretchProposal",
     "WalkProposal",

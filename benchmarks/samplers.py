@@ -272,6 +272,53 @@ def bench_dr_fused(C=16384, n=4000):
     return C * n / best
 
 
+def bench_dram(C=16384, n=2000):
+    from advancedmh_tpu import DRAM
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+    model = correlated_gaussian_model(
+        jnp.asarray([[1.5, 0.35], [0.35, 1.0]])
+    )
+    spl = DRAM()
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(
+        jax.vmap(lambda k: spl.init(k, model, jnp.zeros(2)))
+    )(keys)
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_dram_fused(C=16384, n=2000, d=2):
+    """Fused DRAM engine (TPU only): 2 adapted stages + Welford per step."""
+    from advancedmh_tpu.models.targets import correlated_gaussian_model
+    from advancedmh_tpu.ops import fused_dram_sample
+
+    model = correlated_gaussian_model(
+        jnp.asarray([[1.5, 0.35], [0.35, 1.0]])
+    )
+    run = fused_dram_sample(
+        model.tile_density, d=d, n_samples=n, burn=0, thin=1,
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.zeros((d, C), jnp.float32)
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    L0 = jnp.broadcast_to(
+        (0.1 / np.sqrt(d)) * jnp.eye(d).reshape(d * d, 1), (d * d, C)
+    )
+    n0 = jnp.ones((1, C), jnp.float32)
+
+    def go(seed):
+        s, lp, a, mf, Lf, nf = run(x_t, lp0, x_t, L0, n0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_demc(M=16384, n=2000):
     from advancedmh_tpu import DifferentialEvolution, InverseGamma, Normal
     from advancedmh_tpu.models.targets import emcee_demo_model
@@ -468,6 +515,7 @@ def main():
         ("emcee", bench_emcee),
         ("demc", bench_demc),
         ("dr", bench_dr),
+        ("dram", bench_dram),
         ("mtm", bench_mtm),
         ("am", bench_am),
         ("barker", bench_barker),
@@ -480,6 +528,7 @@ def main():
         ("emcee_fused", bench_emcee_fused),
         ("demc_fused", bench_demc_fused),
         ("dr_fused", bench_dr_fused),
+        ("dram_fused", bench_dram_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):
         out[name] = fn()

@@ -123,6 +123,32 @@ class TestFusedRWMH:
         n_final = np.asarray(res.final_state.iteration)
         assert int(n_final[0]) == 1 + (4000 - 1) + 4000
 
+    def test_sample_engine_fused_dram(self):
+        """Fused DRAM engine: two adapted stages + z-space q₁ cross term +
+        Welford advance in VMEM recover the correlated target; a wrong
+        stage-2 correction would bias the covariance."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import DRAM, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, DRAM(), 4000, key=9, num_chains=2048,
+            engine="fused", discard_initial=4000,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.1, atol=0.05)
+        L = np.asarray(res.final_state.L)
+        LL = np.einsum("cij,ckj->cik", L, L).mean(0)
+        corr = LL[0, 1] / np.sqrt(LL[0, 0] * LL[1, 1])
+        assert abs(corr - 0.5) < 0.1
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert 0.2 < acc < 0.9  # DR lifts acceptance above plain AM's ~0.23
+
     def test_chunked_fused_am_resume(self):
         """Chunked fused AM: moments (mean, L, n) survive the chunk boundary
         so adaptation continues seamlessly across chunks."""
