@@ -58,6 +58,7 @@ from .samplers import (
     RobustAdaptiveMetropolisState,
     Ensemble,
     DRAM,
+    PreconditionedCrankNicolson,
     DelayedRejection,
     StretchProposal,
     WalkProposal,
@@ -110,7 +111,7 @@ __all__ = [
     # samplers
     "MetropolisHastings", "StaticMH", "RWMH", "MALA",
     "RobustAdaptiveMetropolis", "RobustAdaptiveMetropolisState",
-    "DRAM", "DelayedRejection", "Ensemble", "StretchProposal", "WalkProposal",
+    "DRAM", "DelayedRejection", "Ensemble", "PreconditionedCrankNicolson", "StretchProposal", "WalkProposal",
     "ReplicaExchange",
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",

@@ -8,6 +8,7 @@ from .pallas_emcee import fused_emcee_sample
 from .pallas_mala import fused_mala_sample
 from .pallas_mh import fused_rwmh, fused_rwmh_sample, tile_fn_from_batched
 from .pallas_mtm import fused_mtm, fused_mtm_sample
+from .pallas_pcn import fused_pcn_sample
 from .pallas_ram import fused_ram_sample
 from .pallas_tempering import fused_tempering_sample
 
@@ -24,6 +25,7 @@ __all__ = [
     "fused_rwmh",
     "fused_rwmh_sample",
     "fused_mtm",
+    "fused_pcn_sample",
     "fused_mtm_sample",
     "fused_ram_sample",
     "fused_tempering_sample",

@@ -70,7 +70,7 @@ def _ess_kernel(
     E = out_x_ref.shape[0]
     consts = tuple(c[:] for c in const_refs)
     loc = loc_ref[:]
-    apply_scale = _perturb_fn(scale_ref, tril)
+    apply_scale = _perturb_fn(scale_ref, tril, exact=True)
 
     pltpu.prng_seed(seed_ref[0, 0] + i * (n_groups + 1) + g_id)
 

@@ -58,17 +58,47 @@ def _normal_pair(shape) -> Tuple[jax.Array, jax.Array]:
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _perturb_fn(scale_ref, tril: bool):
+_UNROLL_MATVEC_MAX_DIM = 16  # ≙ ops/cholesky.py UNROLL_MAX_DIM crossover
+
+
+def _perturb_fn(scale_ref, tril: bool, exact: bool = False):
     """Proposal perturbation from the scale block: per-dim column multiply
-    (diagonal) or an L @ z triangular matvec on the MXU (full covariance,
-    ``scale_tril``). Symmetry of the random walk is unaffected either way."""
+    (diagonal) or an L @ z triangular matvec (full covariance,
+    ``scale_tril``). Symmetry of the random walk is unaffected either way.
+
+    ``exact=True`` guarantees full-f32 matvec arithmetic — required by
+    samplers whose correctness depends on the proposal matching a reference
+    measure *exactly* (pCN prior-reversibility, the ESS prior ellipse): the
+    MXU's default precision truncates L and z to bf16, which is harmless
+    for symmetric random walks but produced a measured 2-4% posterior-mean
+    bias for fused pCN on the d=16 GP target. For d ≤ 16 the matvec is
+    statically unrolled into VPU row FMAs (exact AND the fast path — same
+    crossover as ops/cholesky.py); above that, exact=True falls back to
+    ``Precision.HIGHEST`` on the MXU, whose Mosaic compile is slow (~7 min
+    through the tunnel) — prefer the XLA engine for d > 16 exact samplers.
+    """
     scale = scale_ref[:]
-    if tril:
-        return lambda z: jax.lax.dot_general(
-            scale, z, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    return lambda z: scale * z
+    if not tril:
+        return lambda z: scale * z
+    d = scale_ref.shape[0]
+    if d <= _UNROLL_MATVEC_MAX_DIM:
+        # Column accumulation: d broadcast FMAs of (d, TC) — 8× fewer ops to
+        # lower than a row-by-row triangular sweep (compile time through the
+        # Mosaic tunnel is the binding constraint), upper-triangle zero
+        # multiplies are VPU-free by comparison.
+        def unrolled(z):
+            acc = scale[:, 0:1] * z[0:1]
+            for c in range(1, d):
+                acc = acc + scale[:, c : c + 1] * z[c : c + 1]
+            return acc
+
+        return unrolled
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    return lambda z: jax.lax.dot_general(
+        scale, z, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
 
 
 def _rwmh_kernel(

@@ -134,6 +134,18 @@ def _fused_tiling(
     raise AssertionError("unreachable: t=1 always divides k")
 
 
+def _fence_launch(arr):
+    """Block until the producing Pallas kernel has actually finished.
+
+    On the axon tunnel a device→host transfer can BEGIN before the producing
+    kernel completes (``jax.block_until_ready`` has the same flaw — see
+    CLAUDE.md): a 524 MB transitions buffer was observed to arrive with
+    partially-written emission groups, reading as an irreproducible ~2%
+    posterior-mean "bias" that vanished under a dependent scalar fence. One
+    ~2 ms scalar host read per launch makes every later transfer safe."""
+    jax.device_get(jnp.ravel(arr)[-1])
+
+
 def _pad_chains(run, c: int, c_pad: int):
     """Wrap a fused engine so callers may pass any chain count: array inputs
     are edge-padded on the chain (last) axis to ``c_pad`` before the kernel
@@ -257,6 +269,7 @@ def sample_fused_ram(
         S0 = jnp.broadcast_to(S0, (d * d, num_chains))
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs, S_final = run(x_t, lp0, S0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -361,6 +374,7 @@ def sample_fused_am(
         n0 = jnp.ones((1, num_chains), jnp.float32)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs, mean_f, L_f, n_f = run(x_t, lp0, mean0, L0, n0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -434,6 +448,7 @@ def sample_fused_mala(
     g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, g0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -499,6 +514,7 @@ def sample_fused_barker(
     g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, g0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -606,6 +622,79 @@ def sample_fused_ess(
     lp0 = tile_fn(x_t, *const_args)
     seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, seed)
+    _fence_launch(samples)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    final_state = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
+    return transitions, final_state
+
+
+def sample_fused_pcn(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused pCN engine (ops/pallas_pcn.py): the RWMH kernel with the state
+    contracted toward the prior mean; acceptance is the pure likelihood
+    difference (the model's tile density must be the **log-likelihood**, the
+    ESS/pCN contract). Single Normal/MvNormal prior leaf (tree priors: XLA
+    path). ``initial_params=None`` draws chain starts from the prior."""
+    from ..ops.pallas_pcn import fused_pcn_sample
+
+    d = model.dimension
+    if d is None:
+        if initial_params is None:
+            raise ValueError(
+                "engine='fused' pCN needs model.dimension or initial_params"
+            )
+        d = int(np.asarray(initial_params).shape[-1])
+    loc, scale = _extract_ess_prior(sampler, d)
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+
+    run = fused_pcn_sample(
+        tile_fn, d=d, loc=loc, scale=scale, beta=sampler.beta,
+        n_samples=n_samples, burn=burn, thin=thinning,
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init_key, seed_key = jax.random.split(jnp.asarray(key))
+    if initial_params is None:
+        x_t = jnp.asarray(loc, jnp.float32)[:, None] + (
+            jnp.asarray(scale, jnp.float32) @ jax.random.normal(
+                init_key, (d, num_chains)
+            )
+            if np.ndim(scale) == 2
+            else jnp.asarray(scale, jnp.float32)[:, None]
+            * jax.random.normal(init_key, (d, num_chains))
+        )
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -665,6 +754,7 @@ def sample_fused_slice(
     lp0 = tile_fn(x_t, *const_args)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -751,6 +841,7 @@ def sample_fused_tempering(
         sw_prop0 = jnp.zeros((num_chains, K - 1), jnp.float32)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs, x_f, ell_f, sw = run(x_t, ell0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
     lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -848,6 +939,7 @@ def sample_fused_emcee(
     lp0 = tile_fn(x_t, *const_args)
     seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (0, 2, 1))  # (N, W, d)
     lp = lps[:, 0, :]  # (N, W)
@@ -931,6 +1023,7 @@ def sample_fused_demc(
     lp0 = tile_fn(x_t, *const_args)
     seed = jax.random.randint(seed_key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(x_t, lp0, seed)
+    _fence_launch(samples)
 
     params = jnp.transpose(samples, (0, 2, 1))  # (N, M, d)
     lp = lps[:, 0, :]  # (N, M)
@@ -1012,6 +1105,7 @@ def sample_fused(
 
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs = run(params_t, lp0, seed)
+    _fence_launch(samples)
 
     # (N, d, C) → (C, N, d); (N, 1, C) → (C, N)
     params = jnp.transpose(samples, (2, 0, 1))

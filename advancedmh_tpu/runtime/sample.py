@@ -348,6 +348,7 @@ def sample(
         from ..samplers.demc import DifferentialEvolution as _DEMC
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.ess import EllipticalSlice as _ESS
+        from ..samplers.pcn import PreconditionedCrankNicolson as _PCN
         from ..samplers.mala import MALA as _MALA
         from ..samplers.slice import SliceSampler as _Slice
         from ..samplers.ram import RobustAdaptiveMetropolis
@@ -359,6 +360,7 @@ def sample(
             sample_fused_demc,
             sample_fused_emcee,
             sample_fused_ess,
+            sample_fused_pcn,
             sample_fused_mala,
             sample_fused_slice,
             sample_fused_ram,
@@ -462,6 +464,14 @@ def sample(
             )
         elif isinstance(sampler, _Barker):
             transitions, final_state = sample_fused_barker(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _PCN):
+            transitions, final_state = sample_fused_pcn(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,

@@ -12,6 +12,7 @@ from .mala import MALA
 from .ram import RobustAdaptiveMetropolis, RobustAdaptiveMetropolisState
 from .dr import DelayedRejection
 from .dram import DRAM
+from .pcn import PreconditionedCrankNicolson
 from .emcee import Ensemble, StretchProposal, WalkProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
@@ -37,6 +38,7 @@ __all__ = [
     "RobustAdaptiveMetropolisState",
     "Ensemble",
     "DRAM",
+    "PreconditionedCrankNicolson",
     "DelayedRejection",
     "StretchProposal",
     "WalkProposal",

@@ -319,6 +319,48 @@ def bench_dram_fused(C=16384, n=2000, d=2):
     return C * n / best
 
 
+def bench_pcn(C=16384, n=4000):
+    from advancedmh_tpu import Normal, PreconditionedCrankNicolson, Transition
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    # likelihood-only target: prior N(0,1) on both params via the sampler
+    model = gaussian_mean_scale_model()
+    spl = PreconditionedCrankNicolson(
+        Normal(0.0, 1.0), beta=0.2
+    )
+    master = jax.random.key(0)
+    params = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (C, 1))
+    state = Transition(params, jax.vmap(model.logdensity_fn)(params),
+                       jnp.zeros((C,), bool))
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_pcn_fused(C=16384, n=4000):
+    """Fused pCN engine (TPU only): RWMH kernel + mean contraction."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_pcn_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_pcn_sample(
+        model.tile_density, d=2, loc=0.0, scale=1.0, beta=0.2,
+        n_samples=n, burn=0, thin=1, consts=model.tile_consts,
+        tile_chains=1024,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+
+    def go(seed):
+        s, lp, a = run(x_t, lp0, seed)
+        return float(lp[-1, 0, 0])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_demc(M=16384, n=2000):
     from advancedmh_tpu import DifferentialEvolution, InverseGamma, Normal
     from advancedmh_tpu.models.targets import emcee_demo_model
@@ -516,6 +558,7 @@ def main():
         ("demc", bench_demc),
         ("dr", bench_dr),
         ("dram", bench_dram),
+        ("pcn", bench_pcn),
         ("mtm", bench_mtm),
         ("am", bench_am),
         ("barker", bench_barker),
@@ -529,6 +572,7 @@ def main():
         ("demc_fused", bench_demc_fused),
         ("dr_fused", bench_dr_fused),
         ("dram_fused", bench_dram_fused),
+        ("pcn_fused", bench_pcn_fused),
         ("mtm_fused", bench_mtm_fused),
     ] if on_tpu else []):
         out[name] = fn()
