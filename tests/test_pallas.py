@@ -735,6 +735,7 @@ class TestFusedPCN:
         np.testing.assert_allclose(mean_t, aux["post_mean"], atol=0.05)
 
 
+@requires_tpu
 class TestFusedESS:
     def test_fused_ess_gp_analytic_posterior(self):
         """Fused ESS on the d=16 GP regression target (MvNormal scale_tril
