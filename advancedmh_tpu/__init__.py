@@ -78,6 +78,8 @@ from .samplers import (
     setparams,
 )
 from .runtime import (
+    log_evidence,
+    power_ladder,
     sample,
     sample_chunked,
     Schedule,
@@ -120,7 +122,7 @@ __all__ = [
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
-    "sample", "sample_chunked", "Schedule", "SamplingResult",
+    "sample", "sample_chunked", "log_evidence", "power_ladder", "Schedule", "SamplingResult",
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics

@@ -1,0 +1,88 @@
+"""Power-posterior evidence estimation tests (runtime/evidence.py).
+
+Sharp check: the conjugate Normal-Normal model has a closed-form marginal
+likelihood — log N(y; 0, σ²I + τ²11ᵀ) — both estimators must hit it.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advancedmh_tpu import MvNormal, Normal, log_evidence, power_ladder
+
+
+def _analytic_log_evidence(y, sigma, tau):
+    n = len(y)
+    cov = sigma**2 * np.eye(n) + tau**2 * np.ones((n, n))
+    sign, logdet = np.linalg.slogdet(2.0 * np.pi * cov)
+    return float(
+        -0.5 * (logdet + y @ np.linalg.solve(cov, y))
+    )
+
+
+class TestConjugate:
+    def test_normal_normal_evidence(self):
+        y = np.asarray([0.8, 1.3, 0.2, 1.0, 0.6], np.float32)
+        sigma, tau = 1.0, 1.0
+        y_j = jnp.asarray(y)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], sigma).log_prob(y_j))
+
+        out = log_evidence(
+            loglik, MvNormal(jnp.zeros(1), scale=tau), 3000, key=0,
+            num_chains=64, proposal_scale=0.6,
+        )
+        want = _analytic_log_evidence(y, sigma, tau)
+        assert abs(out["log_z_ss"] - want) < 0.05
+        assert abs(out["log_z_ti"] - want) < 0.1  # TI carries ladder bias
+        # mean log-likelihood increases along the ladder (the near-zero
+        # rungs are MC-noisy — all targets there are ≈ the prior)
+        assert np.all(np.diff(out["mean_loglik"]) > -0.2)
+        assert out["mean_loglik"][-1] > out["mean_loglik"][0] + 2.0
+        assert np.all(out["acceptance"] > 0.05)
+
+    def test_flat_likelihood_gives_zero(self):
+        """L ≡ 1 → Z = 1 → log Z = 0 for both estimators, exactly."""
+        out = log_evidence(
+            lambda th: jnp.zeros(()), MvNormal(jnp.zeros(2), scale=1.0),
+            200, key=1, num_chains=16,
+        )
+        assert abs(out["log_z_ss"]) < 1e-5
+        assert abs(out["log_z_ti"]) < 1e-5
+
+    def test_two_dim_factorized(self):
+        """Two independent conjugate blocks: evidences add in log space."""
+        y1 = np.asarray([0.5, -0.2, 0.9], np.float32)
+        y2 = np.asarray([1.5, 2.1], np.float32)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], 1.0).log_prob(jnp.asarray(y1))) + \
+                jnp.sum(Normal(theta[1], 0.5).log_prob(jnp.asarray(y2)))
+
+        out = log_evidence(
+            loglik, MvNormal(jnp.zeros(2), scale=1.0), 3000, key=2,
+            num_chains=64, proposal_scale=0.5,
+        )
+        want = (_analytic_log_evidence(y1, 1.0, 1.0)
+                + _analytic_log_evidence(y2, 0.5, 1.0))
+        assert abs(out["log_z_ss"] - want) < 0.08
+
+
+class TestMechanics:
+    def test_power_ladder_shape(self):
+        b = power_ladder(11, c=5.0)
+        assert b[0] == 0.0 and b[-1] == 1.0 and len(b) == 11
+        assert all(x < y for x, y in zip(b, b[1:]))
+        # rungs concentrate near 0
+        assert b[5] < 0.05
+
+    def test_bad_ladder_raises(self):
+        with pytest.raises(ValueError, match="betas"):
+            log_evidence(
+                lambda th: jnp.zeros(()), MvNormal(jnp.zeros(1), scale=1.0),
+                10, key=0, betas=(0.0, 0.5),
+            )
+
+    def test_non_distribution_prior_raises(self):
+        with pytest.raises(TypeError, match="Distribution"):
+            log_evidence(lambda th: jnp.zeros(()), lambda x: 0.0, 10, key=0)
