@@ -89,3 +89,34 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestMultihostHelpers:
+    """Single-process semantics of the multi-host orchestration layer
+    (parallel/multihost.py): these are what a pod launch script calls on
+    every host; on one host they must be exact no-ops with sane values."""
+
+    def test_initialize_single_process_noop(self):
+        from advancedmh_tpu.parallel import multihost
+
+        multihost.initialize()  # no coordinator env → must not distribute
+        assert multihost.is_coordinator()
+        assert multihost.process_local_chains(1024) == 1024
+
+    def test_global_chain_mesh_spans_all_devices(self):
+        from advancedmh_tpu.parallel import multihost
+
+        m = multihost.global_chain_mesh()
+        assert m.shape["chains"] == len(jax.devices())
+
+    def test_multi_host_env_detection(self, monkeypatch):
+        from advancedmh_tpu.parallel import multihost
+
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        assert not multihost._multi_host_env()  # one worker = single host
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+        assert multihost._multi_host_env()
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+        assert multihost._multi_host_env()
