@@ -72,6 +72,7 @@ from .samplers import (
     MultipleTryMetropolis,
     SliceSampler,
     DifferentialEvolution,
+    StepSizeAdaptation,
     Transition,
     GradientTransition,
     getparams,
@@ -118,7 +119,7 @@ __all__ = [
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
-    "DifferentialEvolution",
+    "DifferentialEvolution", "StepSizeAdaptation",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime

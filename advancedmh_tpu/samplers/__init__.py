@@ -21,6 +21,7 @@ from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
 from .demc import DifferentialEvolution
+from .adapt import StepSizeAdaptation, StepSizeAdaptationState
 
 __all__ = [
     "Sampler",
@@ -53,4 +54,6 @@ __all__ = [
     "MultipleTryMetropolis",
     "SliceSampler",
     "DifferentialEvolution",
+    "StepSizeAdaptation",
+    "StepSizeAdaptationState",
 ]

@@ -1,0 +1,201 @@
+"""Dual-averaging step-size adaptation (beyond-parity; no reference analog).
+
+Wraps any *step-size-indexed family* of MH-type samplers and tunes the step
+size toward a target acceptance rate during warmup using Nesterov dual
+averaging (Hoffman & Gelman 2014, §3.2; the stochastic-approximation view is
+Andrieu & Thoms 2008, Algorithm 4). The reference leaves step-size choice
+entirely to the user (e.g. the fixed ``σ²`` in its MALA README usage,
+src/MALA.jl:1-11); RAM (src/RobustAdaptiveMetropolis.jl) adapts a full
+covariance factor but not a family-generic scalar scale.
+
+TPU shape: the adaptation statistics (``log ε``, its running average, the
+dual-averaging error sum) live in the *state pytree*, so the wrapper works
+unchanged under ``vmap`` over chains (each chain adapts its own step size),
+``lax.scan`` over steps, and ``shard_map`` over the mesh — the sampler object
+itself stays a static frozen dataclass closed over by the kernel.
+
+The acceptance signal is the accept *indicator* from the inner transition
+(``E[1_accept] = α``, so the Robbins-Monro fixed point is identical to using
+the acceptance probability; the extra variance is absorbed by the 1/t
+averaging).
+
+Usage::
+
+    spl = StepSizeAdaptation(
+        lambda eps: RWMH(MvNormal(jnp.zeros(2), scale=eps)),
+        target_accept=0.234,
+    )
+    chains = sample(model, spl, 2000, num_warmup=1000, ...)
+
+or via the conveniences ``StepSizeAdaptation.rwmh(d)``,
+``StepSizeAdaptation.mala()``, ``StepSizeAdaptation.barker()`` with the
+Roberts-Rosenthal / Livingstone-Zanella optimal targets baked in.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import KeyArray, pytree_dataclass, replace
+from .base import Sampler
+
+
+@pytree_dataclass
+class StepSizeAdaptationState:
+    """Inner sampler state + Nesterov dual-averaging statistics."""
+
+    inner: Any  # wrapped sampler's state pytree
+    log_eps: jax.Array  # current log step size (warmup iterate)
+    log_eps_bar: jax.Array  # running average — the frozen post-warmup value
+    h_bar: jax.Array  # dual-averaging error sum H̄_t
+    t: jax.Array  # warmup iteration counter (int32, starts at 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSizeAdaptation(Sampler):
+    """Tune ``make_sampler(eps)``'s step size to ``target_accept`` in warmup.
+
+    ``make_sampler`` must be a pure function from a (possibly traced) positive
+    scalar to a sampler whose transitions carry an ``accepted`` flag (every
+    MH-type sampler here: RWMH/MALA/Barker/pCN/...). During warmup steps the
+    current ``exp(log ε)`` is used and adapted; after warmup the averaged
+    ``exp(log ε̄)`` is frozen in (the HG14 contract).
+    """
+
+    make_sampler: Callable[[jax.Array], Sampler]
+    target_accept: float = 0.234
+    initial_step_size: float = 1.0
+    t0: float = 10.0  # adaptation offset (HG14: stabilizes early iterations)
+    kappa: float = 0.75  # averaging decay exponent
+    gamma: float = 0.05  # shrinkage toward mu
+    mu: Optional[float] = None  # shrinkage point; None → log(10·ε₀) (HG14)
+
+    def __post_init__(self):
+        if not 0.0 < self.target_accept < 1.0:
+            raise ValueError("target_accept must be in (0, 1)")
+        if self.initial_step_size <= 0.0:
+            raise ValueError("initial_step_size must be positive")
+
+    # -- helpers -----------------------------------------------------------
+
+    @property
+    def _template(self) -> Sampler:
+        """A concrete-ε instance for ε-independent protocol queries
+        (transition_of, is_population)."""
+        return self.make_sampler(jnp.asarray(self.initial_step_size))
+
+    @property
+    def _mu(self) -> float:
+        import math
+
+        return math.log(10.0 * self.initial_step_size) if self.mu is None else self.mu
+
+    def transition_of(self, state: StepSizeAdaptationState) -> Any:
+        return self._template.transition_of(state.inner)
+
+    # -- kernel ------------------------------------------------------------
+
+    def init(
+        self, key: KeyArray, model, initial_params: Optional[Any] = None
+    ) -> Tuple[Any, StepSizeAdaptationState]:
+        log_eps0 = jnp.log(jnp.asarray(self.initial_step_size, jnp.float32))
+        t, inner_state = self._template.init(key, model, initial_params)
+        zero = jnp.zeros((), jnp.float32)
+        state = StepSizeAdaptationState(
+            inner=inner_state,
+            log_eps=log_eps0,
+            log_eps_bar=log_eps0,
+            h_bar=zero,
+            t=jnp.ones((), jnp.int32),
+        )
+        return t, state
+
+    def step_warmup(
+        self, key: KeyArray, state: StepSizeAdaptationState, model
+    ) -> Tuple[Any, StepSizeAdaptationState]:
+        """One inner step at exp(log ε) + one dual-averaging update (HG14 §3.2)."""
+        inner_spl = self.make_sampler(jnp.exp(state.log_eps))
+        t_out, inner_state = inner_spl.step(key, state.inner, model)
+
+        a = jnp.asarray(t_out.accepted, jnp.float32)  # E[a] = α(ε)
+        t = state.t.astype(jnp.float32)
+        w = 1.0 / (t + self.t0)
+        h_bar = (1.0 - w) * state.h_bar + w * (self.target_accept - a)
+        log_eps = self._mu - jnp.sqrt(t) / self.gamma * h_bar
+        eta = jnp.power(t, -self.kappa)
+        log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
+
+        new_state = StepSizeAdaptationState(
+            inner=inner_state,
+            log_eps=log_eps,
+            log_eps_bar=log_eps_bar,
+            h_bar=h_bar,
+            t=state.t + 1,
+        )
+        return t_out, new_state
+
+    def step(
+        self, key: KeyArray, state: StepSizeAdaptationState, model
+    ) -> Tuple[Any, StepSizeAdaptationState]:
+        """Post-warmup: the averaged step size is frozen (≙ RAM's frozen-S
+        main phase, src/RobustAdaptiveMetropolis.jl:216-237)."""
+        inner_spl = self.make_sampler(jnp.exp(state.log_eps_bar))
+        t_out, inner_state = inner_spl.step(key, state.inner, model)
+        return t_out, replace(state, inner=inner_state)
+
+    # -- convenience families ------------------------------------------------
+
+    @staticmethod
+    def rwmh(
+        d: int, target_accept: float = 0.234, initial_step_size: float = 1.0, **kw
+    ) -> "StepSizeAdaptation":
+        """Isotropic random-walk family ``RWMH(MvNormal(0, ε·I))`` tuned to the
+        Roberts-Gelman-Gilks optimum 0.234."""
+        from ..distributions import MvNormal
+        from .mh import RWMH
+
+        zeros = jnp.zeros(int(d), jnp.float32)
+        return StepSizeAdaptation(
+            lambda eps: RWMH(MvNormal(zeros, scale=eps)),
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+            **kw,
+        )
+
+    @staticmethod
+    def mala(
+        target_accept: float = 0.574, initial_step_size: float = 0.5, **kw
+    ) -> "StepSizeAdaptation":
+        """Langevin family ``MvNormal(ε²/2·∇, ε·I)`` tuned to the
+        Roberts-Rosenthal MALA optimum 0.574."""
+        from ..distributions import MvNormal
+        from .mala import MALA
+
+        return StepSizeAdaptation(
+            lambda eps: MALA(
+                lambda g: MvNormal(
+                    0.5 * eps * eps * g, scale=eps.astype(jnp.float32)
+                )
+            ),
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+            **kw,
+        )
+
+    @staticmethod
+    def barker(
+        target_accept: float = 0.57, initial_step_size: float = 0.5, **kw
+    ) -> "StepSizeAdaptation":
+        """Barker-proposal family tuned to the Vogrinc-Livingstone-Zanella
+        optimum ≈ 0.57."""
+        from .barker import Barker
+
+        return StepSizeAdaptation(
+            lambda eps: Barker(step_size=eps),
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+            **kw,
+        )
