@@ -16,7 +16,9 @@ Two implementations:
 - :func:`chol_rank1_update` — ``lax.fori_loop`` sweep with full-column masked
   vector ops; ``vmap``s cleanly over a chain batch (the batched column
   gathers/scatters vectorize on the VPU).
-- a Pallas VMEM-resident variant for large ``d`` lives in ops/pallas_chol.py.
+- the fused RAM engine carries its own VMEM-resident sweep (statically
+  unrolled, chains-across-lanes layout) inside the kernel — see
+  ``ops/pallas_ram.py::chol_update``.
 
 A failed downdate (the updated matrix is not positive definite — the case
 where Julia throws ``PosDefException``) is reported through the returned

@@ -78,6 +78,12 @@ class StepSizeAdaptation(Sampler):
             raise ValueError("target_accept must be in (0, 1)")
         if self.initial_step_size <= 0.0:
             raise ValueError("initial_step_size must be positive")
+        if self.gamma <= 0.0:
+            raise ValueError("gamma must be positive")
+        if self.t0 < 0.0:
+            raise ValueError("t0 must be non-negative")
+        if not 0.0 < self.kappa <= 1.0:
+            raise ValueError("kappa must be in (0, 1]")
 
     # -- helpers -----------------------------------------------------------
 
@@ -92,6 +98,12 @@ class StepSizeAdaptation(Sampler):
         import math
 
         return math.log(10.0 * self.initial_step_size) if self.mu is None else self.mu
+
+    @property
+    def is_population(self) -> bool:  # type: ignore[override]
+        """Delegate to the wrapped family so population samplers (emcee,
+        DE-MC) keep their walker-bundle runtime path."""
+        return self._template.is_population
 
     def transition_of(self, state: StepSizeAdaptationState) -> Any:
         return self._template.transition_of(state.inner)
@@ -116,9 +128,14 @@ class StepSizeAdaptation(Sampler):
     def step_warmup(
         self, key: KeyArray, state: StepSizeAdaptationState, model
     ) -> Tuple[Any, StepSizeAdaptationState]:
-        """One inner step at exp(log ε) + one dual-averaging update (HG14 §3.2)."""
+        """One inner step at exp(log ε) + one dual-averaging update (HG14 §3.2).
+
+        Delegates to the inner sampler's *warmup* step, so wrapping a sampler
+        with its own warmup adaptation (RAM's S, AM's Welford moments) keeps
+        that adaptation running alongside the scalar-scale tuning.
+        """
         inner_spl = self.make_sampler(jnp.exp(state.log_eps))
-        t_out, inner_state = inner_spl.step(key, state.inner, model)
+        t_out, inner_state = inner_spl.step_warmup(key, state.inner, model)
 
         a = jnp.asarray(t_out.accepted, jnp.float32)  # E[a] = α(ε)
         t = state.t.astype(jnp.float32)

@@ -42,10 +42,10 @@ class TestValidation:
 
 class TestRWMHFamily:
     def test_acceptance_hits_target(self):
-        """Start 40x too large: warmup must pull the post-warmup acceptance
-        rate to the 0.234 optimum (a fixed ε=4.0 run accepts ≈ nothing)."""
+        """Start 100x too large: warmup must pull the post-warmup acceptance
+        rate to the 0.234 optimum (a fixed ε=10 run accepts ≈ nothing)."""
         model, _ = _quadratic_model()
-        spl = StepSizeAdaptation.rwmh(2, initial_step_size=4.0)
+        spl = StepSizeAdaptation.rwmh(2, initial_step_size=10.0)
         res = sample(
             model, spl, 3000, key=0, num_chains=64, num_warmup=1500,
             initial_params=jnp.zeros(2), chain_type="raw",
@@ -54,12 +54,15 @@ class TestRWMHFamily:
         assert abs(acc - 0.234) < 0.08
 
         fixed = sample(
-            model, RWMH(MvNormal(jnp.zeros(2), scale=4.0)), 3000, key=0,
+            model, RWMH(MvNormal(jnp.zeros(2), scale=10.0)), 3000, key=0,
             num_chains=64, num_warmup=1500, initial_params=jnp.zeros(2),
             chain_type="raw",
         )
         acc_fixed = float(jnp.mean(fixed.transitions.accepted.astype(jnp.float32)))
-        assert acc_fixed < 0.05  # the problem adaptation solves
+        # The problem adaptation solves: the mistuned baseline accepts almost
+        # nothing and sits far below the adapted rate.
+        assert acc_fixed < 0.05
+        assert acc_fixed < acc - 0.08
 
     def test_posterior_moments(self):
         """README 2-param Gaussian (≙ reference test/runtests.jl:56-94
