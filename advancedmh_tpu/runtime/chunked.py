@@ -49,6 +49,8 @@ def sample_chunked(
     num_chains: Optional[int] = None,
     initial_params: Any = None,
     initial_params_batched: bool = False,
+    initial_state: Any = None,
+    iteration_offset: int = 0,
     num_warmup: int = 0,
     discard_initial: Optional[int] = None,
     thinning: int = 1,
@@ -89,10 +91,13 @@ def sample_chunked(
     )
     D, W, th = schedule.discard_initial, schedule.num_warmup, schedule.thinning
 
+    # ``initial_state``/``iteration_offset`` continue from a previously
+    # obtained sampler state (≙ sample()'s resume kwargs): the first chunk
+    # then steps from that state with the remaining warmup budget.
     chunks = []
-    state = None
+    state = initial_state
     store = None
-    offset = 0
+    offset = iteration_offset
     done = 0
     t0 = time.perf_counter()
     chunk_idx = 0
@@ -260,12 +265,16 @@ def sample_chunked(
             )
             offset = res.schedule.total_steps
         else:
-            # Remaining warmup steps relative to this chunk's start.
+            # Remaining warmup steps relative to this chunk's start. The
+            # very first chunk of a run resumed from a user-supplied state
+            # honors the full discard_initial; continuation chunks discard
+            # exactly one thinning group before their first emission.
             w_rem = max(0, W - offset)
             res = sample(
                 model, sampler, n_chunk, key=key, num_chains=num_chains,
                 initial_state=state, iteration_offset=offset,
-                num_warmup=w_rem, discard_initial=th, thinning=th,
+                num_warmup=w_rem,
+                discard_initial=(D if done == 0 else th), thinning=th,
                 collect_states=collect_states, **kwargs,
             )
             offset += res.schedule.total_steps

@@ -300,8 +300,9 @@ def sample(
     param_names=None,
     vectorized: Optional[bool] = None,
     engine: str = "xla",
-    progress: bool = False,  # accepted for API parity; progress is reported
-    # at chunk granularity by runtime/chunked.py, not per-step
+    callback: Optional[Callable[[Any, int], None]] = None,
+    chunk_size: Optional[int] = None,
+    progress: bool = False,
 ):
     """Draw ``n_samples`` per chain (≙ AbstractMCMC ``sample``; see
     runtime/schedule.py for the exact iteration contract).
@@ -315,6 +316,17 @@ def sample(
     ``chain_type`` ∈ {None, "chains", "structarray", "namedtuples"} selects
     the output bundle (≙ the reference's chain_type= kwarg and ext/ output
     adapters); None returns the raw :class:`SamplingResult`.
+
+    ``callback`` (≙ the AbstractMCMC per-iteration ``callback`` kwarg,
+    exercised at reference test/RobustAdaptiveMetropolis.jl:46-56) is invoked
+    on the host as ``callback(chunk_result, chunk_index)`` at scan-chunk
+    cadence — the TPU-native hook granularity (per-step host calls would
+    serialize the device). ``chunk_size`` sets the cadence (default
+    ≈ n_samples/20, capped at 1000; ``chunk_size=1`` gives exact
+    per-iteration cadence at host-roundtrip cost). ``progress=True`` prints
+    one host-side progress line per chunk. Either kwarg routes the run
+    through :func:`sample_chunked`; XLA-engine results remain bit-identical
+    to the unchunked run (absolute-iteration RNG indexing).
     """
     # Positional ensemble form ≙ the reference's
     # ``sample(model, spl, MCMCThreads(), N, nchains)``
@@ -331,6 +343,26 @@ def sample(
         args = ()
     if args:
         raise TypeError(f"unexpected positional arguments: {args!r}")
+
+    if callback is not None or progress:
+        from .chunked import sample_chunked
+
+        cs = (
+            chunk_size
+            if chunk_size is not None
+            else max(1, min(1000, -(-int(n_samples) // 20)))
+        )
+        result = sample_chunked(
+            model, sampler, n_samples, chunk_size=cs, key=key,
+            num_chains=num_chains, initial_params=initial_params,
+            initial_params_batched=initial_params_batched,
+            initial_state=initial_state, iteration_offset=iteration_offset,
+            num_warmup=num_warmup, discard_initial=discard_initial,
+            thinning=thinning, collect_states=collect_states,
+            callback=callback, progress=progress, to_host=False,
+            chain_method=chain_method, vectorized=vectorized, engine=engine,
+        )
+        return _convert(result, chain_type, param_names)
 
     model = as_model(model)
     schedule = Schedule(
@@ -651,6 +683,10 @@ def _finish(
         states=states,
         sampler=sampler,
     )
+    return _convert(result, chain_type, param_names)
+
+
+def _convert(result: SamplingResult, chain_type, param_names):
     if chain_type in (None, "raw"):
         return result
     if chain_type == "chains":

@@ -151,3 +151,84 @@ class TestChunked:
         )
         assert [i for i, _ in seen] == [0, 1, 2]
         assert [s[1] for _, s in seen] == [20, 20, 10]
+
+
+class TestSampleCallbackProgress:
+    """callback/progress through the public ``sample()`` front-end (≙ the
+    AbstractMCMC kwargs re-exported at reference src/AdvancedMH.jl:30 and
+    exercised at reference test/RobustAdaptiveMetropolis.jl:46-56)."""
+
+    def test_callback_invoked_and_bitexact(self):
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        kw = dict(key=3, num_chains=4, initial_params=jnp.asarray([0.0, 1.0]))
+        seen = []
+        res = sample(
+            MODEL, spl, 90, chunk_size=25,
+            callback=lambda r, i: seen.append(
+                (i, np.asarray(r.transitions.lp).shape[1])
+            ),
+            **kw,
+        )
+        assert [i for i, _ in seen] == [0, 1, 2, 3]
+        assert sum(n for _, n in seen) == 90
+        plain = sample(MODEL, spl, 90, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(plain.transitions.lp), np.asarray(res.transitions.lp)
+        )
+
+    def test_progress_prints(self, capsys):
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        sample(
+            MODEL, spl, 40, key=0, num_chains=2,
+            initial_params=jnp.asarray([0.0, 1.0]), progress=True,
+            chunk_size=20,
+        )
+        err = capsys.readouterr().err
+        assert "40/40" in err
+
+    def test_resume_from_state_with_callback(self):
+        """sample(initial_state=..., callback=...) composes: the continuation
+        equals the tail of an uninterrupted run bit-exactly."""
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        kw = dict(key=5, num_chains=3, initial_params=jnp.asarray([0.0, 1.0]))
+        full = sample(MODEL, spl, 100, **kw)
+        head = sample(MODEL, spl, 50, **kw)
+        calls = []
+        tail = sample(
+            MODEL, spl, 50, key=5, num_chains=3,
+            initial_state=head.final_state,
+            iteration_offset=head.schedule.total_steps,
+            discard_initial=1, chunk_size=30,
+            callback=lambda r, i: calls.append(i),
+        )
+        assert calls == [0, 1]
+        np.testing.assert_array_equal(
+            np.asarray(full.transitions.lp)[:, 50:],
+            np.asarray(tail.transitions.lp),
+        )
+
+    def test_ram_adaptation_dynamics_via_callback(self):
+        """≙ the reference StatesExtractor test
+        (test/RobustAdaptiveMetropolis.jl:11-71): a callback observes every
+        adapted S; eigenvalues respect the configured upper bound and the
+        adaptation actually drives them onto it."""
+        upper = 1.5
+        # N(0, 4·I): the unconstrained optimum S ≈ (2.38/√2)·2 ≈ 3.4 ≫ upper.
+        model = DensityModel(lambda x: -0.125 * jnp.sum(x * x), dimension=2)
+        spl = RobustAdaptiveMetropolis(eigenvalue_upper_bound=upper)
+        diags = []
+
+        def extract(r, i):
+            diags.append(
+                np.diagonal(np.asarray(r.states.S), axis1=-2, axis2=-1)
+            )
+
+        sample(
+            model, spl, 300, key=7, num_chains=2, num_warmup=300,
+            discard_initial=0, initial_params=jnp.zeros(2),
+            collect_states=True, callback=extract, chunk_size=100,
+        )
+        diag = np.concatenate(diags, axis=1)  # (chains, steps, d)
+        assert diag.shape[1] == 300
+        assert diag.max() <= upper + 1e-6  # clamp holds everywhere
+        assert diag.max() > 0.8 * upper  # and the bound is actually active
