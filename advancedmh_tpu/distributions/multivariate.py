@@ -89,6 +89,12 @@ class MvNormal(Distribution):
             maha = jnp.sum(z * z, axis=-1)
         else:
             z = diff / self.scale
-            half_logdet = d * jnp.log(self.scale * jnp.ones(()))
+            s = jnp.asarray(self.scale) * jnp.ones(())
+            if s.ndim > 0 and s.shape[-1] == 1:
+                # A batch of per-chain scalar scales carries a trailing
+                # singleton so it broadcasts over the event axis in sample();
+                # collapse it here so log_prob stays (batch,)-shaped.
+                s = s[..., 0]
+            half_logdet = d * jnp.log(s)
             maha = jnp.sum(z * z, axis=-1)
         return -0.5 * (maha + d * _LOG_2PI) - half_logdet

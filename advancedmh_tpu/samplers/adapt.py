@@ -163,6 +163,63 @@ class StepSizeAdaptation(Sampler):
         t_out, inner_state = inner_spl.step(key, state.inner, model)
         return t_out, replace(state, inner=inner_state)
 
+    # -- vectorized kernels (chain-batched state, batched RNG) -------------
+
+    @property
+    def has_batched_kernel(self) -> bool:  # type: ignore[override]
+        """The wrapper's batched kernels only exist when the wrapped family
+        has them — otherwise the runtime must fall back to vmap-of-single."""
+        return self._template.has_batched_kernel
+
+    def _eps_batched(self, log_eps: jax.Array, batch_shape) -> jax.Array:
+        """Per-chain step sizes shaped ``batch + (1,)`` so ``make_sampler``'s
+        scalar-style arithmetic broadcasts over the event axis. The batched
+        path therefore requires vector-shaped params (every family built by
+        ``.rwmh``/``.mala``/``.barker`` qualifies)."""
+        return jnp.exp(log_eps).reshape(tuple(batch_shape) + (1,))
+
+    def step_batched(
+        self, key: KeyArray, state: StepSizeAdaptationState, model, batch_shape
+    ) -> Tuple[Any, StepSizeAdaptationState]:
+        """Post-warmup batched step at the frozen per-chain exp(log ε̄)."""
+        inner_spl = self.make_sampler(
+            self._eps_batched(state.log_eps_bar, batch_shape)
+        )
+        t_out, inner_state = inner_spl.step_batched(
+            key, state.inner, model, batch_shape
+        )
+        return t_out, replace(state, inner=inner_state)
+
+    def step_warmup_batched(
+        self, key: KeyArray, state: StepSizeAdaptationState, model, batch_shape
+    ) -> Tuple[Any, StepSizeAdaptationState]:
+        """Batched warmup: one inner batched step + the elementwise HG14
+        update — every chain carries and adapts its own (log ε, ε̄, H̄, t),
+        exactly the per-chain semantics of the single-chain kernel."""
+        inner_spl = self.make_sampler(
+            self._eps_batched(state.log_eps, batch_shape)
+        )
+        t_out, inner_state = inner_spl.step_warmup_batched(
+            key, state.inner, model, batch_shape
+        )
+
+        a = jnp.asarray(t_out.accepted, jnp.float32)  # (C,): E[a] = α(ε)
+        t = state.t.astype(jnp.float32)
+        w = 1.0 / (t + self.t0)
+        h_bar = (1.0 - w) * state.h_bar + w * (self.target_accept - a)
+        log_eps = self._mu - jnp.sqrt(t) / self.gamma * h_bar
+        eta = jnp.power(t, -self.kappa)
+        log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
+
+        new_state = StepSizeAdaptationState(
+            inner=inner_state,
+            log_eps=log_eps,
+            log_eps_bar=log_eps_bar,
+            h_bar=h_bar,
+            t=state.t + 1,
+        )
+        return t_out, new_state
+
     # -- convenience families ------------------------------------------------
 
     @staticmethod

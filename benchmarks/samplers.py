@@ -103,6 +103,26 @@ def bench_ram_warmup(C=16384, n=2000, d=2):
     return C * n / _time_scan(step, state, n)
 
 
+def bench_adapt_rwmh(C=16384, n=4000):
+    """StepSizeAdaptation-wrapped RWMH on the batched warmup kernel: the
+    dual-averaging update is ~5 elementwise ops per chain on top of the
+    plain RWMH step, so the target is within ~10% of bench_rwmh."""
+    from advancedmh_tpu import StepSizeAdaptation
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = StepSizeAdaptation.rwmh(2, initial_step_size=0.1)
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_warmup_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
 def bench_mtm(C=16384, n=1000, k=4):
     from advancedmh_tpu import (
         MultipleTryMetropolis, MvNormal, RandomWalkProposal, Transition,
@@ -554,6 +574,7 @@ def main():
         ("rwmh", bench_rwmh),
         ("mala", bench_mala),
         ("ram_warmup", bench_ram_warmup),
+        ("adapt_rwmh", bench_adapt_rwmh),
         ("emcee", bench_emcee),
         ("demc", bench_demc),
         ("dr", bench_dr),

@@ -153,3 +153,63 @@ class TestPerChainAdaptation:
         # (≈ 2.38/√d · σ ≈ 1.5-2.5), none stuck at pathological values.
         assert eps.min() > 0.3 and eps.max() < 6.0
         assert eps.std() / eps.mean() < 0.5
+
+
+class TestBatchedKernel:
+    """step_batched/step_warmup_batched (the TPU hot path): per-chain
+    adaptation semantics match the vmap-of-single-chain kernels."""
+
+    def test_batched_matches_single_chain_semantics(self):
+        model, _ = _quadratic_model()
+        spl = StepSizeAdaptation.rwmh(2, initial_step_size=10.0)
+        kw = dict(key=0, num_chains=64, num_warmup=1500,
+                  initial_params=jnp.zeros(2), chain_type="raw")
+        assert spl.has_batched_kernel
+        vec = sample(model, spl, 3000, vectorized=True, **kw)
+        ref = sample(model, spl, 3000, vectorized=False, **kw)
+        for r in (vec, ref):
+            acc = float(jnp.mean(r.transitions.accepted.astype(jnp.float32)))
+            assert abs(acc - 0.234) < 0.08
+        eps_v = np.exp(np.asarray(vec.final_state.log_eps_bar))
+        eps_r = np.exp(np.asarray(ref.final_state.log_eps_bar))
+        # Each chain adapts its own eps in both paths; the adapted
+        # populations must agree in distribution (not bitwise: the batched
+        # path hashes one key per step, the single path one per chain-step).
+        assert eps_v.shape == eps_r.shape == (64,)
+        assert 0.7 < np.median(eps_v) / np.median(eps_r) < 1.4
+        assert eps_v.std() / eps_v.mean() < 0.5
+
+    def test_mala_family_batched_hits_target(self):
+        model, SIG = _quadratic_model()
+        spl = StepSizeAdaptation.mala(initial_step_size=3.0)
+        res = sample(
+            model, spl, 3000, key=2, num_chains=64, num_warmup=1500,
+            initial_params=jnp.zeros(2), chain_type="raw", vectorized=True,
+        )
+        acc = float(jnp.mean(res.transitions.accepted.astype(jnp.float32)))
+        assert abs(acc - 0.574) < 0.08
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert np.abs(np.cov(draws.T) - SIG).max() < 0.2
+
+    def test_wrapped_ram_batched_keeps_inner_adaptation(self):
+        """Batched warmup delegates to the inner step_warmup_batched: a
+        wrapped RAM adapts its S (off-diagonal moves away from 0)."""
+        model, _ = _quadratic_model()
+        from advancedmh_tpu import RobustAdaptiveMetropolis
+
+        # Matrix-valued families add the matrix axes themselves (eps arrives
+        # as a scalar in the single-chain path and as (C, 1) batched).
+        spl = StepSizeAdaptation(
+            lambda eps: RobustAdaptiveMetropolis(
+                S=jnp.reshape(eps, jnp.shape(eps) + (1,))
+                * jnp.eye(2, dtype=jnp.float32)
+            ),
+            initial_step_size=0.5,
+        )
+        res = sample(
+            model, spl, 500, key=3, num_chains=8, num_warmup=500,
+            initial_params=jnp.zeros(2), chain_type="raw", vectorized=True,
+        )
+        S = np.asarray(res.final_state.inner.S)
+        assert S.shape == (8, 2, 2)
+        assert np.abs(S[:, 1, 0]).max() > 1e-3
