@@ -71,6 +71,14 @@ class AdaptiveMetropolis(Sampler):
     fixed_scale: float = 0.1
     opt_scale: float = 2.38
     adapt_start: Optional[int] = None
+    # pooled=True: all chains feed ONE shared covariance (cross-chain Welford
+    # merge) instead of each chain learning its own — C observations per step
+    # rather than 1, so Σ converges ~C× faster in wall-clock steps. The
+    # chain-axis reductions are plain jnp sums; under GSPMD sharding of the
+    # chain axis XLA compiles them to psum/all-reduce over ICI — the SURVEY
+    # §2 "cross-chain adaptation stats over collectives" plan. Batched-path
+    # (step_batched) only; the single-chain kernel has no chain axis to pool.
+    pooled: bool = False
 
     # -- helpers -------------------------------------------------------------
 
@@ -152,6 +160,54 @@ class AdaptiveMetropolis(Sampler):
             )
         return mean_new, L_new
 
+    def _moments_update_pooled(self, state, x_new):
+        """Cross-chain pooled Welford merge (Chan-Golub-LeVeque parallel
+        update): the C new chain states enter one shared (mean, Σ) with the
+        exact batch formula
+
+            M2' = M2 + Σ_c (x_c − x̄)(x_c − x̄)ᵀ + (nC/(n+C))·δδᵀ,
+            δ = x̄ − mean,
+
+        computed as one (d,C)·(C,d) MXU matmul + a d×d Cholesky (rank-C
+        update ⇒ direct refactorization beats C sequential rank-1 sweeps).
+        Moments are stored replicated over the chain axis so the state pytree
+        matches the per-chain layout (checkpoints, chunked resume, sharding
+        annotations all unchanged). Chain 0's moments seed the pool; any
+        init-time spread between chains washes out as 1/n.
+        """
+        d = x_new.shape[-1]
+        flat = x_new.reshape(-1, d)
+        C = flat.shape[0]
+        dt = state.L.dtype
+        n = state.iteration.reshape(-1)[0].astype(dt)
+        mean0 = state.mean.reshape(-1, d)[0]
+        L0 = state.L.reshape(-1, d, d)[0]
+        b_mean = jnp.mean(flat, axis=0)
+        centered = flat - b_mean
+        M2_b = centered.T @ centered  # chain-axis reduction → psum under GSPMD
+        delta = b_mean - mean0
+        n_new = n + C
+        mean_new = mean0 + (C / n_new) * delta
+        # Σ = M2/n with the C₀ seed as one pseudo-observation (init); the
+        # seed keeps M2 strictly PD so the refactorization cannot fail.
+        M2 = n * (L0 @ L0.T)
+        M2_new = M2 + M2_b + (n * C / n_new) * jnp.outer(delta, delta)
+        L_new = jnp.linalg.cholesky(M2_new / n_new)
+        return (
+            jnp.broadcast_to(mean_new, x_new.shape),
+            jnp.broadcast_to(L_new, x_new.shape[:-1] + (d, d)),
+        )
+
+    def _advance_moments(self, state, x_new, batched: bool):
+        """(mean, L, iteration) after consuming ``x_new`` — pooled or
+        per-chain."""
+        if batched and self.pooled:
+            mean_new, L_new = self._moments_update_pooled(state, x_new)
+            count = int(math.prod(x_new.shape[:-1]))
+            return mean_new, L_new, state.iteration + count
+        mean_new, L_new = self._moments_update(state, x_new)
+        return mean_new, L_new, state.iteration + 1
+
     def step(
         self, key: KeyArray, state: AdaptiveMetropolisState, model
     ) -> Tuple[Transition, AdaptiveMetropolisState]:
@@ -164,13 +220,13 @@ class AdaptiveMetropolis(Sampler):
         isaccept = -jax.random.exponential(key_acc) < logalpha
         x_new = jnp.where(isaccept, x_cand, state.x)
         lp_new = jnp.where(isaccept, lp_cand, state.logprob)
-        mean_new, L_new = self._moments_update(state, x_new)
+        mean_new, L_new, it_new = self._advance_moments(state, x_new, False)
         state_new = AdaptiveMetropolisState(
             x=x_new,
             logprob=lp_new,
             mean=mean_new,
             L=L_new,
-            iteration=state.iteration + 1,
+            iteration=it_new,
             isaccept=isaccept,
         )
         return self.transition_of(state_new), state_new
@@ -190,13 +246,13 @@ class AdaptiveMetropolis(Sampler):
         isaccept = -jax.random.exponential(key_acc, batch_shape) < logalpha
         x_new = jnp.where(isaccept[..., None], x_cand, state.x)
         lp_new = jnp.where(isaccept, lp_cand, state.logprob)
-        mean_new, L_new = self._moments_update(state, x_new)
+        mean_new, L_new, it_new = self._advance_moments(state, x_new, True)
         state_new = AdaptiveMetropolisState(
             x=x_new,
             logprob=lp_new,
             mean=mean_new,
             L=L_new,
-            iteration=state.iteration + 1,
+            iteration=it_new,
             isaccept=isaccept,
         )
         return self.transition_of(state_new), state_new

@@ -54,6 +54,8 @@ class DRAM(Sampler):
     opt_scale: float = 2.38
     gamma: float = 0.2
     fixed_scale: float = 0.1
+    # Cross-chain pooled covariance (see AdaptiveMetropolis.pooled).
+    pooled: bool = False
 
     def __post_init__(self):
         if not 0.0 < self.gamma < 1.0:
@@ -66,7 +68,8 @@ class DRAM(Sampler):
     # chunked/checkpoint runtime treats DRAM states like AM states).
     def _am(self) -> AdaptiveMetropolis:
         return AdaptiveMetropolis(
-            beta=0.0, fixed_scale=self.fixed_scale, opt_scale=self.opt_scale
+            beta=0.0, fixed_scale=self.fixed_scale,
+            opt_scale=self.opt_scale, pooled=self.pooled,
         )
 
     def transition_of(self, state: AdaptiveMetropolisState) -> Transition:
@@ -111,13 +114,15 @@ class DRAM(Sampler):
         x_new = jnp.where(m1, y1, jnp.where(m2, y2, x))
         lp_new = jnp.where(acc1, lp1, jnp.where(acc2, lp2, lp0))
 
-        mean_new, L_new = self._am()._moments_update(state, x_new)
+        mean_new, L_new, it_new = self._am()._advance_moments(
+            state, x_new, bn > 0
+        )
         state_new = AdaptiveMetropolisState(
             x=x_new,
             logprob=lp_new,
             mean=mean_new,
             L=L_new,
-            iteration=state.iteration + 1,
+            iteration=it_new,
             isaccept=acc1 | acc2,
         )
         return self.transition_of(state_new), state_new

@@ -49,6 +49,14 @@ class RobustAdaptiveMetropolis(Sampler):
     S: Optional[Any] = None  # initial Cholesky factor (None → identity)
     eigenvalue_lower_bound: float = 0.0
     eigenvalue_upper_bound: float = math.inf
+    # pooled=True: one shared S adapted by ALL chains each warmup step (the
+    # natural multi-chain generalization of Vihola's update — the per-chain
+    # rank-1 corrections average into one rank-C correction, applied as
+    # S' = S·chol(I + η·mean_c Δα_c·û_c û_cᵀ)). The chain-axis mean is a
+    # plain reduction; under GSPMD sharding it compiles to a psum over ICI
+    # (SURVEY §2 "psum for RAM cross-chain adaptation stats"). Batched path
+    # only; C chains contribute per step so S converges ~C× faster.
+    pooled: bool = False
 
     # -- helpers -----------------------------------------------------------
 
@@ -213,6 +221,29 @@ class RobustAdaptiveMetropolis(Sampler):
         )
         return self.transition_of(state_new), state_new
 
+    def _adapt_pooled(self, state, logalpha, U):
+        """Rank-C pooled Vihola update: S'S'ᵀ = S(I + η·W)Sᵀ with
+        W = mean_c Δα_c û_c û_cᵀ, û = U/‖U‖. ‖W‖₂ ≤ max(α, 1−α) < 1 and
+        η ≤ 1, so I + η·W is always PD and the d×d refactorization cannot
+        fail; S' = S·chol(I+ηW) stays lower-triangular. One (d,C)·(C,d)
+        matmul + one d×d Cholesky per step, shared across all chains."""
+        d = U.shape[-1]
+        Uf = U.reshape(-1, d)
+        la = logalpha.reshape(-1)
+        C = Uf.shape[0]
+        S0 = state.S.reshape(-1, d, d)[0]
+        dt = S0.dtype
+        eta = jnp.power(state.iteration.reshape(-1)[0].astype(dt), -self.gamma)
+        dalpha = jnp.exp(la) - self.alpha  # (C,)
+        u = Uf / jnp.linalg.norm(Uf, axis=-1, keepdims=True)
+        W = (u * dalpha[:, None]).T @ u / C  # chain reduction → psum on mesh
+        M = jnp.eye(d, dtype=dt) + eta * W
+        S_new = S0 @ jnp.linalg.cholesky(M)
+        valid = self._valid_eigenvalues(S_new)
+        S_final = jnp.where(valid, S_new, S0)
+        batch = state.S.shape[:-2]
+        return jnp.broadcast_to(S_final, batch + (d, d)), eta
+
     def step_warmup_batched(
         self, key: KeyArray, state: RobustAdaptiveMetropolisState, model,
         batch_shape: Tuple[int, ...],
@@ -221,6 +252,19 @@ class RobustAdaptiveMetropolis(Sampler):
         x_new, lp_new, U, logalpha, isaccept = self._step_inner_batched(
             key, state, model, batch_shape
         )
+        if self.pooled:
+            S_final, eta = self._adapt_pooled(state, logalpha, U)
+            acc = isaccept[..., None]
+            state_new = RobustAdaptiveMetropolisState(
+                x=jnp.where(acc, x_new, state.x),
+                logprob=jnp.where(isaccept, lp_new, state.logprob),
+                S=S_final,
+                logalpha=logalpha,
+                eta=jnp.broadcast_to(eta, batch_shape),
+                iteration=state.iteration + 1,
+                isaccept=isaccept,
+            )
+            return self.transition_of(state_new), state_new
         # Per-chain adaptation (each chain adapts its own S).
         dalpha = jnp.exp(logalpha) - self.alpha  # (C,)
         S = state.S

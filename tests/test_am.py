@@ -132,3 +132,70 @@ class TestInterface:
         x = np.asarray(res.transitions.params).reshape(-1, 2)
         assert abs(x[:, 0].mean()) < 0.1
         assert abs(x[:, 1].mean() - 1.0) < 0.1
+
+
+class TestPooledAdaptation:
+    """pooled=True: cross-chain Welford merge (SURVEY §2 'cross-chain
+    adaptation stats over collectives'). All chains feed one shared Σ, so it
+    converges measurably faster than per-chain at an equal step budget."""
+
+    def _corr_model(self, d=6, rho=0.5):
+        C = rho * np.ones((d, d), np.float32) + (1 - rho) * np.eye(
+            d, dtype=np.float32
+        )
+        return correlated_gaussian_model(jnp.asarray(C)), C
+
+    def test_pooled_beats_per_chain_at_equal_budget(self):
+        model, SIG = self._corr_model()
+        kw = dict(key=0, num_chains=128, initial_params=jnp.zeros(6),
+                  vectorized=True)
+        pooled = sample(model, AdaptiveMetropolis(pooled=True), 150, **kw)
+        per = sample(model, AdaptiveMetropolis(), 150, **kw)
+
+        def cov_err(L):
+            C = L @ np.swapaxes(L, -1, -2)
+            # scale-free comparison: normalize by trace
+            C = C / np.trace(C, axis1=-2, axis2=-1)[..., None, None]
+            T = SIG / np.trace(SIG)
+            return np.abs(C - T).max(axis=(-2, -1))
+
+        err_pooled = cov_err(np.asarray(pooled.final_state.L)[0])
+        err_per = cov_err(np.asarray(per.final_state.L)).mean()
+        assert err_pooled < err_per
+
+    def test_pooled_moments_replicated_and_counted(self):
+        model, _ = self._corr_model()
+        res = sample(
+            model, AdaptiveMetropolis(pooled=True), 50, key=1,
+            num_chains=16, initial_params=jnp.zeros(6), vectorized=True,
+        )
+        L = np.asarray(res.final_state.L)
+        np.testing.assert_array_equal(L, np.broadcast_to(L[0], L.shape))
+        # iteration counts observations: 1 (init) + 16 per step × 49 steps
+        # (sample 1 is the init state; 49 further steps emit samples 2..50)
+        assert int(res.final_state.iteration[0]) == 1 + 16 * 49
+
+    def test_pooled_posterior_moments_correct(self):
+        """Pooling must not bias the posterior (adaptation stays
+        diminishing: C·1/n weighting)."""
+        res = sample(
+            MODEL, AdaptiveMetropolis(pooled=True), 2000, key=2,
+            num_chains=64, initial_params=jnp.zeros(2), num_warmup=1000,
+            discard_initial=1000, vectorized=True,
+        )
+        x = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(x.mean(0), np.zeros(2), atol=0.1)
+        np.testing.assert_allclose(np.cov(x.T), np.asarray(COV), rtol=0.2)
+
+    def test_pooled_dram(self):
+        from advancedmh_tpu import DRAM
+
+        res = sample(
+            MODEL, DRAM(pooled=True), 1500, key=3, num_chains=64,
+            initial_params=jnp.zeros(2), num_warmup=500,
+            discard_initial=500, vectorized=True,
+        )
+        x = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(x.T), np.asarray(COV), rtol=0.2)
+        L = np.asarray(res.final_state.L)
+        np.testing.assert_array_equal(L, np.broadcast_to(L[0], L.shape))

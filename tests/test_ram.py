@@ -156,3 +156,48 @@ class TestRAMSampling:
             collect_states=True, initial_params=jnp.zeros(2),
         )
         assert (np.asarray(res.states.logalpha) <= 0.0).all()
+
+
+class TestPooledRAM:
+    """pooled=True: one shared S adapted by all chains per warmup step (the
+    rank-C Vihola update; SURVEY §2 'psum for RAM cross-chain adaptation
+    stats')."""
+
+    def test_pooled_shape_converges_faster(self):
+        d = 4
+        C = 0.5 * np.ones((d, d), np.float32) + 0.5 * np.eye(d, dtype=np.float32)
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        model = correlated_gaussian_model(jnp.asarray(C))
+        kw = dict(key=0, num_chains=128, num_warmup=200, discard_initial=200,
+                  initial_params=jnp.zeros(d), vectorized=True)
+        pooled = sample(model, RobustAdaptiveMetropolis(pooled=True), 10, **kw)
+        per = sample(model, RobustAdaptiveMetropolis(), 10, **kw)
+
+        def shape_err(S):
+            M = S @ np.swapaxes(S, -1, -2)
+            M = M / np.trace(M, axis1=-2, axis2=-1)[..., None, None]
+            T = C / np.trace(C)
+            return np.abs(M - T).max(axis=(-2, -1))
+
+        err_pooled = shape_err(np.asarray(pooled.final_state.S)[0])
+        err_per = shape_err(np.asarray(per.final_state.S)).mean()
+        assert err_pooled < err_per
+        # shared S stays replicated across the chain axis
+        S = np.asarray(pooled.final_state.S)
+        np.testing.assert_array_equal(S, np.broadcast_to(S[0], S.shape))
+
+    def test_pooled_acceptance_near_target(self):
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        C = np.asarray([[2.0, 0.8], [0.8, 1.0]], np.float32)
+        model = correlated_gaussian_model(jnp.asarray(C))
+        res = sample(
+            model, RobustAdaptiveMetropolis(pooled=True), 2000, key=1,
+            num_chains=64, num_warmup=1000, discard_initial=1000,
+            initial_params=jnp.zeros(2), vectorized=True,
+        )
+        acc = float(np.asarray(res.transitions.accepted).mean())
+        assert abs(acc - 0.234) < 0.08
+        x = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(x.T), C, rtol=0.2)
