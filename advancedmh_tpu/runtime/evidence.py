@@ -13,36 +13,97 @@ and two estimators are computed from the same ladder run:
 - **Stepping-stone** (Xie et al. 2011):
   log Z = Σ_k log E_{β_k}[ L^{β_{k+1}−β_k} ], each expectation a logsumexp
   over that rung's draws — consistent even with a coarse ladder (TI's
-  discretization bias is one-sided; SS is the recommended estimator).
+  discretization bias is one-sided; SS is the recommended estimator). A
+  Monte-Carlo standard error ``se_ss`` is attached: per-chain rung
+  estimates are independent (independent chains), so the delta-method SE of
+  each rung's log-ratio is the between-chain spread of the normalized
+  per-chain weights, and rung SEs add in quadrature (Xie 2011 §SE, adapted
+  to the many-independent-chains setting).
 
 TPU formulation: the whole ladder runs as ONE flat chain batch — rung k
 contributes ``num_chains`` chains whose density closes over a per-chain β
-vector, so K rungs × C chains is a single ``step_batched`` under one
+vector, so K rungs × C chains is a single batched MH kernel under one
 ``lax.scan`` (no Python loop over rungs, no replica swaps needed: rungs are
 independent targets here, and the β-ladder's mixing aid is irrelevant
 because every rung starts from the prior and burns in independently).
+
+Proposal scaling: hot rungs (β → 1) concentrate like the posterior while
+cold rungs stay prior-wide; one global scale is wrong somewhere on the
+ladder. ``proposal_scale="auto"`` (default) runs per-chain dual averaging
+(Hoffman-Gelman 2014 §3.2 — the same scheme as samplers/adapt.py) toward
+0.234 during burn-in and freezes each chain's averaged scale for the
+estimation phase. Scalar and per-rung sequences are also accepted. Rungs
+whose realized acceptance is still degenerate trigger a loud warning.
+
+Params may be a flat vector OR any pytree: pass a *pytree of
+Distributions* as the prior (dict/tuple/nested — mirrors the proposal
+algebra) and ``loglik_fn`` receives params in that same pytree structure;
+internally everything runs on the raveled flat vector.
 
 The default ladder β_k = (k/(K−1))^5 concentrates rungs near β=0 where
 E_β[log L] changes fastest (the Xie/Friel recommendation).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence
+import math
+import warnings
+from typing import Any, Callable, Dict, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.flatten_util import ravel_pytree
 
-from ..distributions import Distribution, MvNormal
-from ..models.density import DensityModel
-from ..samplers.base import Transition
-from ..samplers.mh import RWMH
+from ..distributions import Distribution
 from ..utils import KeyArray, as_key
 
 
 def power_ladder(n_rungs: int = 16, c: float = 5.0):
     """β_k = (k/(K−1))^c, k = 0..K−1 — rungs concentrated near the prior."""
     return tuple((k / (n_rungs - 1.0)) ** c for k in range(n_rungs))
+
+
+def _is_dist(x) -> bool:
+    return isinstance(x, Distribution)
+
+
+def _flatten_prior(prior, key_proto):
+    """A prior pytree of Distributions → flat-vector machinery.
+
+    Returns ``(draw_flat(key) -> (d,), prior_lp_flat((d,)) -> (), unravel,
+    d)``. A single Distribution over vectors is the 1-leaf case: ravel of an
+    array is the array itself, so ``loglik_fn`` keeps seeing plain vectors.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(prior, is_leaf=_is_dist)
+    if not leaves or not all(_is_dist(leaf) for leaf in leaves):
+        raise TypeError(
+            "prior must be a Distribution or a pytree of Distributions "
+            "(each needs .sample and .log_prob)"
+        )
+    proto = treedef.unflatten(
+        [
+            leaf.sample(k)
+            for leaf, k in zip(leaves, jax.random.split(key_proto, len(leaves)))
+        ]
+    )
+    flat0, unravel = ravel_pytree(proto)
+    d = int(flat0.shape[0])
+
+    def draw_flat(k):
+        ks = jax.random.split(k, len(leaves))
+        tree = treedef.unflatten(
+            [leaf.sample(kk) for leaf, kk in zip(leaves, ks)]
+        )
+        return ravel_pytree(tree)[0]
+
+    def prior_lp_flat(v):
+        tree = unravel(v)
+        vals = treedef.flatten_up_to(tree)
+        return sum(
+            jnp.sum(leaf.log_prob(x)) for leaf, x in zip(leaves, vals)
+        )
+
+    return draw_flat, prior_lp_flat, unravel, d
 
 
 def log_evidence(
@@ -53,22 +114,32 @@ def log_evidence(
     key: KeyArray,
     betas: Optional[Sequence[float]] = None,
     num_chains: int = 64,
-    proposal_scale: Any = 0.5,
+    proposal_scale: Union[str, float, Sequence[float]] = "auto",
     discard_initial: Optional[int] = None,
-    d: Optional[int] = None,
+    target_accept: float = 0.234,
+    min_acceptance: float = 0.1,
+    d: Optional[int] = None,  # kept for API compat; inferred from the prior
 ) -> Dict[str, Any]:
     """Estimate log Z = log ∫ p(x) L(x) dx.
 
-    ``loglik_fn`` — log-likelihood over a flat (d,) params vector;
-    ``prior`` — a :class:`Distribution` with ``sample`` and ``log_prob``
-    over the same vector (the proper prior p). Each ladder rung runs
-    ``num_chains`` RWMH chains (scale ``proposal_scale``) on
-    p(x)·L(x)^{β_k}; every chain starts at a prior draw and burns
-    ``discard_initial`` steps (default ``n_samples``).
+    ``loglik_fn`` — log-likelihood over a params pytree (flat vector, or
+    whatever structure the prior pytree produces); ``prior`` — a
+    :class:`Distribution` or pytree of Distributions (the proper prior p).
+    Each ladder rung runs ``num_chains`` RWMH chains on p(x)·L(x)^{β_k};
+    every chain starts at a prior draw and burns ``discard_initial`` steps
+    (default ``n_samples``).
 
-    Returns a dict with ``log_z_ss`` (stepping-stone — use this),
-    ``log_z_ti`` (thermodynamic integration, trapezoid), the ladder
-    ``betas``, per-rung ``mean_loglik``, and per-rung ``acceptance``.
+    ``proposal_scale``: ``"auto"`` (default — per-chain dual averaging to
+    ``target_accept`` during burn-in, frozen after), a scalar, or a
+    per-rung sequence of length ``len(betas)``.
+
+    Returns a dict with ``log_z_ss`` (stepping-stone — use this), ``se_ss``
+    (its Monte-Carlo standard error), ``log_z_ti`` (thermodynamic
+    integration, trapezoid), the ladder ``betas``, per-rung
+    ``mean_loglik``, ``acceptance``, and ``proposal_scales`` (per-rung
+    median of the scales actually used). Any rung with acceptance below
+    ``min_acceptance`` raises a ``UserWarning`` — its stepping-stone factor
+    is built from a frozen chain and may silently bias log Z.
     """
     if betas is None:
         betas = power_ladder()
@@ -78,11 +149,6 @@ def log_evidence(
             "betas must ascend from 0.0 (prior) to 1.0 (posterior); "
             "use power_ladder() for the default schedule."
         )
-    if not isinstance(prior, Distribution):
-        raise TypeError(
-            "prior must be a Distribution (needs .sample and .log_prob); "
-            "got " + type(prior).__name__
-        )
     K = len(betas_t)
     C = num_chains
     B = K * C
@@ -90,60 +156,92 @@ def log_evidence(
     master = as_key(key)
     key_init, key_run = jax.random.split(master)
 
+    draw_flat, prior_lp_flat, unravel, d = _flatten_prior(prior, master)
+
     # flat (B,) β vector: rung k occupies chains [k*C, (k+1)*C)
     beta_vec = jnp.repeat(jnp.asarray(betas_t, jnp.float32), C)
 
-    loglik_b = jax.vmap(loglik_fn)
-
-    def _prior_lp(xs):
-        lp = prior.log_prob(xs)
-        # sum event dims if log_prob is elementwise over the vector
-        if lp.ndim == xs.ndim:
-            lp = jnp.sum(lp, axis=-1)
-        return lp
+    loglik_b = jax.vmap(lambda v: loglik_fn(unravel(v)))
+    prior_lp_b = jax.vmap(prior_lp_flat)
 
     def density_batched(xs):  # (B, d) -> (B,)
-        return _prior_lp(xs) + beta_vec * loglik_b(xs)
+        return prior_lp_b(xs) + beta_vec * loglik_b(xs)
 
-    x0 = prior.sample(key_init, (B,))
-    if d is None:
-        d = int(np.prod(x0.shape[1:])) if x0.ndim > 1 else 1
-    if x0.ndim == 1:
-        x0 = x0[:, None]
-    model = DensityModel(
-        lambda x: _prior_lp(x) + loglik_fn(x),  # unused by the batched path
-        dimension=d,
-        logdensity_batched_fn=density_batched,
-    )
-    spl = RWMH(MvNormal(jnp.zeros(d), scale=jnp.asarray(proposal_scale)))
+    x0 = jax.vmap(draw_flat)(jax.random.split(key_init, B))  # (B, d)
 
-    lp0 = density_batched(x0)
-    state = Transition(x0, lp0, jnp.zeros((B,), bool))
+    # -- proposal scales ----------------------------------------------------
+    adapt = proposal_scale == "auto"
+    if adapt:
+        eps0 = jnp.full((B,), 0.5, jnp.float32)
+    elif isinstance(proposal_scale, str):
+        raise ValueError(f"unknown proposal_scale: {proposal_scale!r}")
+    else:
+        ps = jnp.asarray(proposal_scale, jnp.float32)
+        if ps.ndim == 0:
+            eps0 = jnp.full((B,), ps)
+        elif ps.shape == (K,):
+            eps0 = jnp.repeat(ps, C)  # per-rung scales
+        else:
+            raise ValueError(
+                f"proposal_scale must be 'auto', a scalar, or a length-{K} "
+                f"per-rung sequence; got shape {ps.shape}"
+            )
+
+    # Dual-averaging constants (HG14 §3.2; ≙ samplers/adapt.py defaults).
+    t0_da, kappa, gamma = 10.0, 0.75, 0.05
+    mu_da = jnp.log(10.0 * eps0)
+
+    def mh_step(kj, x, lp, eps):
+        kp, ka = jax.random.split(kj)
+        cand = x + eps[:, None] * jax.random.normal(kp, x.shape, x.dtype)
+        lp_cand = density_batched(cand)
+        acc = -jax.random.exponential(ka, (B,)) < lp_cand - lp
+        x = jnp.where(acc[:, None], cand, x)
+        lp = jnp.where(acc, lp_cand, lp)
+        return x, lp, acc
 
     @jax.jit
-    def run(state):
-        def body(s, j):
-            _, s = spl.step_batched(
-                jax.random.fold_in(key_run, j), s, model, (B,)
+    def run(x0):
+        lp0 = density_batched(x0)
+        zero = jnp.zeros((B,), jnp.float32)
+
+        def warm_body(carry, j):
+            x, lp, log_eps, log_eps_bar, h_bar = carry
+            x, lp, acc = mh_step(
+                jax.random.fold_in(key_run, j), x, lp, jnp.exp(log_eps)
             )
-            return s, None
+            if adapt:
+                t = (j + 1).astype(jnp.float32)
+                w = 1.0 / (t + t0_da)
+                h_bar = (1.0 - w) * h_bar + w * (
+                    target_accept - acc.astype(jnp.float32)
+                )
+                log_eps = mu_da - jnp.sqrt(t) / gamma * h_bar
+                eta = jnp.power(t, -kappa)
+                log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
+            return (x, lp, log_eps, log_eps_bar, h_bar), None
 
-        s, _ = jax.lax.scan(body, state, jnp.arange(burn))
+        carry = (x0, lp0, jnp.log(eps0), jnp.log(eps0), zero)
+        carry, _ = jax.lax.scan(warm_body, carry, jnp.arange(burn))
+        x, lp, _, log_eps_bar, _ = carry
+        eps_final = jnp.exp(log_eps_bar) if adapt else eps0
 
-        def body2(s, j):
-            _, s = spl.step_batched(
-                jax.random.fold_in(key_run, burn + j), s, model, (B,)
+        def body2(carry, j):
+            x, lp = carry
+            x, lp, acc = mh_step(
+                jax.random.fold_in(key_run, burn + j), x, lp, eps_final
             )
-            return s, (loglik_b(s.params), s.accepted)
+            return (x, lp), (loglik_b(x), acc)
 
-        s, (lls, accs) = jax.lax.scan(
-            body2, s, jnp.arange(n_samples)
-        )
-        return lls, accs  # (N, B)
+        _, (lls, accs) = jax.lax.scan(body2, (x, lp), jnp.arange(n_samples))
+        return lls, accs, eps_final  # (N, B), (N, B), (B,)
 
-    lls, accs = run(state)
+    lls, accs, eps_final = run(x0)
     lls = lls.reshape(n_samples, K, C)
     acc = accs.reshape(n_samples, K, C).mean(axis=(0, 2))  # (K,)
+    scales = np.median(
+        np.asarray(eps_final).reshape(K, C), axis=1
+    )  # (K,)
 
     betas_arr = jnp.asarray(betas_t)
     mean_ll = jnp.mean(lls, axis=(0, 2))  # (K,) E_β[log L]
@@ -152,16 +250,40 @@ def log_evidence(
         0.5 * (mean_ll[1:] + mean_ll[:-1]) * (betas_arr[1:] - betas_arr[:-1])
     )
     # Stepping-stone: Σ_k logmeanexp((β_{k+1}−β_k)·ℓ_k) over rung-k draws
-    db = (betas_arr[1:] - betas_arr[:-1]).reshape(-1, 1)  # (K-1, 1)
-    rung_draws = lls[:, :-1, :].transpose(1, 0, 2).reshape(K - 1, -1)
-    log_z_ss = jnp.sum(
-        jax.scipy.special.logsumexp(db * rung_draws, axis=1)
-        - jnp.log(rung_draws.shape[1])
-    )
+    db = (betas_arr[1:] - betas_arr[:-1]).reshape(-1, 1, 1)  # (K-1, 1, 1)
+    rung_draws = lls[:, :-1, :].transpose(1, 0, 2)  # (K-1, N, C)
+    # per-chain log-mean-exp (chains are independent → SE from their spread)
+    m_kc = jax.scipy.special.logsumexp(
+        db * rung_draws, axis=1
+    ) - math.log(n_samples)  # (K-1, C)
+    m_k = jax.scipy.special.logsumexp(m_kc, axis=1) - math.log(C)  # (K-1,)
+    log_z_ss = jnp.sum(m_k)
+    # delta method: SE(log r̂_k) ≈ sd_c(w̃)/√C with w̃ = exp(m_kc − m_k)
+    # (mean-1 normalized per-chain weights); rungs independent ⇒ quadrature.
+    w = np.exp(np.asarray(m_kc - m_k[:, None]))
+    se_k = w.std(axis=1, ddof=1) / math.sqrt(C)
+    se_ss = float(np.sqrt(np.sum(se_k**2)))
+
+    acc_np = np.asarray(acc)
+    bad = np.nonzero(acc_np < min_acceptance)[0]
+    if bad.size:
+        warnings.warn(
+            f"log_evidence: ladder rungs {bad.tolist()} (β = "
+            f"{[round(betas_t[i], 4) for i in bad.tolist()]}) have acceptance "
+            f"{[round(float(acc_np[i]), 3) for i in bad.tolist()]} < "
+            f"{min_acceptance}; their stepping-stone factors come from "
+            "near-frozen chains and may bias log Z. Increase n_samples, use "
+            "proposal_scale='auto', or refine the ladder.",
+            UserWarning,
+            stacklevel=2,
+        )
+
     return {
         "log_z_ss": float(log_z_ss),
+        "se_ss": se_ss,
         "log_z_ti": float(log_z_ti),
         "betas": betas_t,
         "mean_loglik": np.asarray(mean_ll),
-        "acceptance": np.asarray(acc),
+        "acceptance": acc_np,
+        "proposal_scales": scales,
     }
