@@ -1,4 +1,5 @@
 from .cholesky import chol_rank1_update, chol_rank1_update_batched
+from .pallas_adapt import fused_adapt_rwmh_sample
 from .pallas_am import fused_am_sample
 from .pallas_barker import fused_barker_sample
 from .pallas_demc import fused_demc_sample
@@ -15,6 +16,7 @@ from .pallas_tempering import fused_tempering_sample
 __all__ = [
     "chol_rank1_update",
     "chol_rank1_update_batched",
+    "fused_adapt_rwmh_sample",
     "fused_am_sample",
     "fused_barker_sample",
     "fused_demc_sample",

@@ -124,10 +124,9 @@ def bundle_namedtuples(
             "to_chains()/to_structarray() for batched runs."
         )
     values, names = flatten_params(params, 1, param_names)
-    values = np.asarray(values)
-    lp = np.asarray(lp)
     names = [_sanitize(n) for n in names]
-    return [
-        {**{n: float(values[i, j]) for j, n in enumerate(names)}, "lp": float(lp[i])}
-        for i in range(values.shape[0])
-    ]
+    # One C-level pass each (ndarray.tolist gives native floats) — per-element
+    # float() calls cost seconds at the reference's own 100k-draw scale.
+    rows = np.asarray(values, np.float64).tolist()
+    lps = np.asarray(lp, np.float64).tolist()
+    return [dict(zip(names, row), lp=l) for row, l in zip(rows, lps)]

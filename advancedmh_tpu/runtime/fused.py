@@ -1114,3 +1114,89 @@ def sample_fused(
     transitions = Transition(params, lp, accepted)
     final_state = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
     return transitions, final_state
+
+
+def sample_fused_adapt_rwmh(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    num_warmup: int,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused dual-averaging engine (ops/pallas_adapt.py) for
+    ``StepSizeAdaptation.rwmh`` — the full HG14 warmup + frozen-ε̄ sampling
+    schedule in one VMEM-resident launch. Requires the ``.rwmh`` convenience
+    family (arbitrary ``make_sampler`` closures can't be introspected) and
+    the standard schedule ``discard_initial == num_warmup`` (warmup draws
+    are adaptation transients — the XLA engine keeps them if needed).
+
+    Schedule note (≙ sample_fused_ram): sample k is the state after
+    ``num_warmup + k·thinning`` steps; equal in distribution to the XLA
+    schedule, offset by one thinning stride in absolute step labels."""
+    from ..ops.pallas_adapt import fused_adapt_rwmh_sample
+    from ..samplers.adapt import StepSizeAdaptationState
+    from ..samplers.base import Transition
+
+    fam = getattr(sampler, "_fused_family", None)
+    if not (isinstance(fam, tuple) and fam and fam[0] == "rwmh_iso"):
+        raise ValueError(
+            "engine='fused' for StepSizeAdaptation requires the "
+            "StepSizeAdaptation.rwmh(d) family (general make_sampler "
+            "closures cannot be introspected); use the XLA engine instead."
+        )
+    if discard_initial != num_warmup:
+        raise ValueError(
+            "fused StepSizeAdaptation supports the standard schedule "
+            "discard_initial == num_warmup; use the XLA path to keep "
+            "warmup draws."
+        )
+    if initial_params is None:
+        raise ValueError("engine='fused' requires initial_params")
+    d = fam[1]
+    tile_fn, consts = _tile_density_of(model)
+    c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+
+    run = fused_adapt_rwmh_sample(
+        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
+        initial_step_size=sampler.initial_step_size,
+        target_accept=sampler.target_accept,
+        t0=sampler.t0, kappa=sampler.kappa, gamma=sampler.gamma,
+        mu=sampler.mu, consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, eps_final = run(x_t, lp0, seed)
+    _fence_launch(samples)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    C = num_chains
+    log_eps = jnp.log(eps_final[0])  # (C,)
+    final_state = StepSizeAdaptationState(
+        inner=Transition(params[:, -1, :], lp[:, -1], accepted[:, -1]),
+        log_eps=log_eps,
+        log_eps_bar=log_eps,
+        h_bar=jnp.zeros((C,), jnp.float32),
+        t=jnp.full((C,), num_warmup + 1, jnp.int32),
+    )
+    return transitions, final_state

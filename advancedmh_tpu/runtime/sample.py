@@ -383,9 +383,11 @@ def sample(
         from ..samplers.pcn import PreconditionedCrankNicolson as _PCN
         from ..samplers.mala import MALA as _MALA
         from ..samplers.slice import SliceSampler as _Slice
+        from ..samplers.adapt import StepSizeAdaptation as _SSA
         from ..samplers.ram import RobustAdaptiveMetropolis
         from ..samplers.tempering import ReplicaExchange as _RE
         from .fused import (
+            sample_fused_adapt_rwmh,
             sample_fused,
             sample_fused_am,
             sample_fused_barker,
@@ -435,6 +437,12 @@ def sample(
                 resume_am = initial_state
             elif isinstance(sampler, _RE):
                 resume_re = initial_state
+            elif isinstance(sampler, _SSA):
+                raise NotImplementedError(
+                    "engine='fused' StepSizeAdaptation does not resume from "
+                    "a saved state (the frozen per-chain ε̄ would reset); "
+                    "use the XLA engine for chunked/resumed runs."
+                )
             else:
                 initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
@@ -465,7 +473,16 @@ def sample(
             )
         if num_chains is None:
             raise ValueError("engine='fused' requires num_chains")
-        if isinstance(sampler, RobustAdaptiveMetropolis):
+        if isinstance(sampler, _SSA):
+            transitions, final_state = sample_fused_adapt_rwmh(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                num_warmup=schedule.num_warmup,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, RobustAdaptiveMetropolis):
             transitions, final_state = sample_fused_ram(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,

@@ -232,12 +232,17 @@ class StepSizeAdaptation(Sampler):
         from .mh import RWMH
 
         zeros = jnp.zeros(int(d), jnp.float32)
-        return StepSizeAdaptation(
+        spl = StepSizeAdaptation(
             lambda eps: RWMH(MvNormal(zeros, scale=eps)),
             target_accept=target_accept,
             initial_step_size=initial_step_size,
             **kw,
         )
+        # Records the family so sample(engine='fused') can run the fused
+        # dual-averaging engine (ops/pallas_adapt.py) — same pattern as
+        # MALA.langevin's step-size record.
+        object.__setattr__(spl, "_fused_family", ("rwmh_iso", int(d)))
+        return spl
 
     @staticmethod
     def mala(

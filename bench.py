@@ -128,6 +128,128 @@ def bench_ess_per_s(model):
     return mu_ess / best
 
 
+def bench_ess_per_s_mala(model):
+    """ESS/s of μ via the fused MALA engine — gradients point the chains at
+    the mode, so fewer steps buy more ESS despite the pricier step."""
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.ops.pallas_mala import fused_mala_sample
+
+    N = 4000
+    # eps ≈ posterior std (~0.18 for μ) × the Roberts-Rosenthal d^{-1/6}
+    # regime → s2 = eps² ≈ 0.02; realized acceptance ≈ 0.5-0.7.
+    run = fused_mala_sample(
+        model.tile_density, d=2, step_size_sq=0.02, n_samples=N, burn=1000,
+        thin=1, consts=model.tile_consts, tile_chains=2048,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(params, *consts)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+
+    def go(seed):
+        samples, _, accs = run(params, lp0, g0, seed)
+        float(samples[-1, 0, 0])  # scalar-read fence
+        return samples, accs
+
+    go(0)
+    best, samples = float("inf"), None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        out, accs = go(1 + trial)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, samples = dt, out
+    acc = float(accs.mean())
+    assert 0.1 < acc < 0.98, f"degenerate MALA acceptance {acc}"
+    return float(ess(samples[:, 0, :])) / best
+
+
+def bench_ess_per_s_ram(model):
+    """ESS/s of μ via the fused RAM engine: 1000 adaptive warmup steps find
+    the posterior's scale/shape, then frozen-S draws — no hand tuning."""
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.ops import fused_ram_sample
+
+    N = 4000
+    run = fused_ram_sample(
+        model.tile_density, d=2, n_samples=N, warmup=1000,
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(params, *consts)
+    S0 = jnp.broadcast_to(
+        jnp.eye(2, dtype=jnp.float32).reshape(4, 1), (4, N_CHAINS)
+    )
+
+    def go(seed):
+        samples, _, accs, _S = run(params, lp0, S0, seed)
+        float(samples[-1, 0, 0])  # scalar-read fence
+        return samples, accs
+
+    go(0)
+    best, samples = float("inf"), None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        out, accs = go(1 + trial)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, samples = dt, out
+    acc = float(accs.mean())
+    assert 0.05 < acc < 0.95, f"degenerate RAM acceptance {acc}"
+    return float(ess(samples[:, 0, :])) / best
+
+
+def bench_ess_per_s_adapt_rwmh(model):
+    """ESS/s of μ for StepSizeAdaptation-wrapped RWMH on the XLA batched
+    path: 1000 dual-averaging warmup steps, then frozen-ε̄ draws."""
+    from advancedmh_tpu import StepSizeAdaptation
+    from advancedmh_tpu.diagnostics import ess
+
+    N, W = 4000, 1000
+    spl = StepSizeAdaptation.rwmh(2, initial_step_size=1.0)
+    master = jax.random.key(0)
+
+    @jax.jit
+    def run(seed_key):
+        _, state = jax.vmap(
+            lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+        )(jax.random.split(seed_key, N_CHAINS))
+
+        def wbody(s, j):
+            _, s = spl.step_warmup_batched(
+                jax.random.fold_in(seed_key, j), s, model, (N_CHAINS,)
+            )
+            return s, None
+
+        state, _ = jax.lax.scan(wbody, state, jnp.arange(W))
+
+        def body(s, j):
+            t, s = spl.step_batched(
+                jax.random.fold_in(seed_key, W + j), s, model, (N_CHAINS,)
+            )
+            return s, t.params[:, 0]
+
+        _, mus = jax.lax.scan(body, state, jnp.arange(N))
+        return mus  # (N, C)
+
+    def go(sk):
+        mus = run(sk)
+        float(mus[-1, 0])  # scalar-read fence
+        return mus
+
+    go(master)
+    best, mus = float("inf"), None
+    for trial in range(3):
+        sk = jax.random.key(1 + trial)
+        t0 = time.perf_counter()
+        out = go(sk)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, mus = dt, out
+    return float(ess(mus)) / best
+
+
 def main():
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
 
@@ -144,11 +266,21 @@ def main():
               "falling back to XLA", file=sys.stderr)
         throughput, engine = bench_xla(model)
 
-    try:
-        ess_rate = bench_ess_per_s(model)
-    except Exception as e:
-        print(f"ess bench skipped ({type(e).__name__}: {e})", file=sys.stderr)
-        ess_rate = None
+    # ESS/s companions (the BASELINE.json north-star metric) — the adaptive
+    # samplers are what win it, so report them alongside the RWMH headline.
+    ess_fields = {}
+    for field, fn in [
+        ("ess_per_s_mu", bench_ess_per_s),
+        ("ess_per_s_mu_mala", bench_ess_per_s_mala),
+        ("ess_per_s_mu_ram", bench_ess_per_s_ram),
+        ("ess_per_s_mu_adapt_rwmh", bench_ess_per_s_adapt_rwmh),
+    ]:
+        try:
+            ess_fields[field] = fn(model)
+        except Exception as e:
+            print(f"{field} skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            ess_fields[field] = None
 
     print(
         json.dumps(
@@ -158,7 +290,7 @@ def main():
                 "unit": f"chain-steps/s ({N_CHAINS} chains, README 2-param "
                         f"Gaussian model, engine={engine})",
                 "vs_baseline": throughput / REFERENCE_SEQ_THROUGHPUT,
-                "ess_per_s_mu": ess_rate,
+                **ess_fields,
             }
         )
     )

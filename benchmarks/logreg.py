@@ -30,20 +30,20 @@ N_STEPS = 2000
 SCALE = 0.05
 
 
-def _model():
+def _model(dim=DIM):
     from advancedmh_tpu.models.targets import logistic_regression_model
 
-    return logistic_regression_model(n_obs=N_OBS, dim=DIM, seed=0)
+    return logistic_regression_model(n_obs=N_OBS, dim=dim, seed=0)
 
 
-def bench_fused_rwmh(model):
+def bench_fused_rwmh(model, dim=DIM, scale=SCALE):
     from advancedmh_tpu.ops import fused_rwmh
 
     run = fused_rwmh(
-        model.tile_density, d=DIM, scale=SCALE, n_steps=N_STEPS,
+        model.tile_density, d=dim, scale=scale, n_steps=N_STEPS,
         consts=model.tile_consts, tile_chains=1024,
     )
-    params = jnp.zeros((DIM, N_CHAINS), jnp.float32)
+    params = jnp.zeros((dim, N_CHAINS), jnp.float32)
     consts = tuple(jnp.asarray(c) for c in model.tile_consts)
     lp0 = model.tile_density(params, *consts)
 
@@ -54,6 +54,15 @@ def bench_fused_rwmh(model):
     best, acc = best_of(go)
     assert 0.05 < acc / N_STEPS < 0.95, f"degenerate acceptance {acc/N_STEPS}"
     return N_CHAINS * N_STEPS / best
+
+
+def bench_fused_rwmh_d128(model_unused):
+    """d=128 variant: same kernel, 4x the matmul contraction depth. The
+    chain-step rate barely moves vs d=32 (the step is dependency-latency
+    bound, see docs/design.md roofline) so the density matmul rides the MXU
+    at ~4x the TF/s — the kernel design scales to whatever FLOPs the model
+    carries."""
+    return bench_fused_rwmh(_model(dim=128), dim=128, scale=0.02)
 
 
 def bench_fused_mala(model):
@@ -112,12 +121,12 @@ def bench_xla_rwmh(model):
 
 def main():
     model = _model()
-    flops_per_eval = 2 * N_OBS * DIM  # the logits matmul
     out = {}
     for name, fn in [
         ("xla_rwmh", bench_xla_rwmh),
         ("fused_rwmh", bench_fused_rwmh),
         ("fused_mala", bench_fused_mala),
+        ("fused_rwmh_d128", bench_fused_rwmh_d128),
     ]:
         try:
             r = fn(model)
@@ -125,9 +134,10 @@ def main():
             # X @ β plus one backward Xᵀ @ (y − σ(z)) (z is a stored
             # residual — there is no third matmul).
             evals = 2.0 if name == "fused_mala" else 1.0
+            fpe = 2 * N_OBS * (128 if name.endswith("d128") else DIM)
             out[name] = {
                 "chain_steps_per_s": r,
-                "density_gflops": r * flops_per_eval * evals / 1e9,
+                "density_gflops": r * fpe * evals / 1e9,
             }
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": f"{type(e).__name__}: {e}"}

@@ -567,6 +567,29 @@ def bench_ram_fused(C=16384, n=2000, d=2):
     return C * 2 * n / best  # n warmup + n emitted steps per run
 
 
+def bench_adapt_rwmh_fused(C=16384, n=2000):
+    """Fused dual-averaging engine: n adaptive warmup steps + n emitted
+    frozen-eps draws (2n total steps counted, ≙ bench_ram_fused)."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops import fused_adapt_rwmh_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_adapt_rwmh_sample(
+        model.tile_density, d=2, n_samples=n, warmup=n,
+        initial_step_size=1.0, consts=model.tile_consts, tile_chains=1024,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+
+    def go(seed):
+        s, lp, a, eps = run(x_t, lp0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * 2 * n / best
+
+
 def main():
     out = {}
     on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -586,6 +609,7 @@ def main():
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("ram_fused", bench_ram_fused),
+        ("adapt_rwmh_fused", bench_adapt_rwmh_fused),
         ("am_fused", bench_am_fused),
         ("barker_fused", bench_barker_fused),
         ("tempering_fused", bench_tempering_fused),

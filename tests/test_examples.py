@@ -55,3 +55,14 @@ def test_tempering_example():
 
 def test_ess_gp_example():
     _run("ess_gp", {"N_SAMPLES": "600", "NUM_CHAINS": "32", "N_POINTS": "32"})
+
+
+def test_evidence_example():
+    _run("evidence_example", {"N_SAMPLES": "2000", "NUM_CHAINS": "48"})
+
+
+def test_pooled_adapt_example():
+    _run(
+        "pooled_adapt_example",
+        {"N_SAMPLES": "10", "NUM_CHAINS": "96", "NUM_WARMUP": "200"},
+    )
