@@ -80,6 +80,7 @@ from .samplers import (
 )
 from .runtime import (
     log_evidence,
+    log_evidence_ais,
     power_ladder,
     sample,
     sample_chunked,
@@ -123,7 +124,7 @@ __all__ = [
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
-    "sample", "sample_chunked", "log_evidence", "power_ladder", "Schedule", "SamplingResult",
+    "sample", "sample_chunked", "log_evidence", "log_evidence_ais", "power_ladder", "Schedule", "SamplingResult",
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics

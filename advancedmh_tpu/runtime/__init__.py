@@ -9,12 +9,13 @@ from .sample import (
 )
 from .checkpoint import save_state, load_state
 from .chunked import sample_chunked
-from .evidence import log_evidence, power_ladder
+from .evidence import log_evidence, log_evidence_ais, power_ladder
 
 __all__ = [
     "Schedule",
     "sample",
     "log_evidence",
+    "log_evidence_ais",
     "power_ladder",
     "build_chain_fn",
     "SamplingResult",

@@ -6,7 +6,8 @@ power-posterior family tempers the **likelihood only** (Friel-Pettitt 2008):
 
     π_β(x) ∝ p(x) · L(x)^β,     Z(0) = 1 (proper prior),  Z(1) = evidence
 
-and two estimators are computed from the same ladder run:
+and two estimators are computed from the same ladder run (a third — AIS —
+sweeps the ladder instead; see :func:`log_evidence_ais`):
 
 - **Thermodynamic integration** (path sampling):
   log Z = ∫₀¹ E_β[log L] dβ, trapezoid over the rungs.
@@ -286,4 +287,207 @@ def log_evidence(
         "mean_loglik": np.asarray(mean_ll),
         "acceptance": acc_np,
         "proposal_scales": scales,
+    }
+
+
+def log_evidence_ais(
+    loglik_fn: Callable[[Any], jax.Array],
+    prior,
+    *,
+    key: KeyArray,
+    betas: Optional[Sequence[float]] = None,
+    num_chains: int = 1024,
+    n_steps_per_rung: int = 4,
+    proposal_scale: Union[str, float, Sequence[float]] = "auto",
+    n_pilot: int = 200,
+    target_accept: float = 0.234,
+    min_acceptance: float = 0.05,
+) -> Dict[str, Any]:
+    """Annealed importance sampling (Neal 2001) estimate of log Z.
+
+    The third evidence estimator, complementing :func:`log_evidence`'s TI and
+    stepping-stone: every chain *sweeps* the ladder prior → posterior,
+    accumulating the incremental importance weight
+
+        w += (β_k − β_{k−1}) · log L(x)     (x ~ π_{β_{k−1}})
+
+    then moves under ``n_steps_per_rung`` RWMH transitions targeting
+    π_{β_k}. ``log Z = logmeanexp(w)`` is unbiased in Ẑ for ANY ladder and
+    ANY number of inner steps — bad tuning widens the weight spread (visible
+    in the returned ``ess_weights``) but never biases the estimator, unlike
+    a frozen stepping-stone rung. TPU shape: one ``lax.scan`` over rungs ×
+    ``num_chains`` vmapped sweeps; inner transitions are a nested scan with
+    absolute-iteration keys.
+
+    ``proposal_scale="auto"`` (default) runs a *pilot* flat ladder batch
+    (``n_pilot`` steps of per-chain dual averaging, exactly the
+    :func:`log_evidence` scheme) to freeze one scale per rung BEFORE the
+    measured sweep — scales fixed ahead of the run keep AIS exact. Scalar
+    and per-rung sequences are also accepted.
+
+    Returns ``log_z_ais``, ``se_ais`` (delta-method SE from the independent-
+    chain weight spread), ``ess_weights`` (Kish effective sample size of the
+    normalized weights), ``betas``, per-rung ``acceptance``, and
+    ``proposal_scales``. Low acceptance on a rung only *inflates* the weight
+    spread (unlike stepping-stone bias) but still warns below
+    ``min_acceptance``.
+    """
+    if betas is None:
+        betas = power_ladder(32)
+    betas_t = tuple(float(b) for b in betas)
+    if betas_t != tuple(sorted(betas_t)) or betas_t[0] != 0.0 or betas_t[-1] != 1.0:
+        raise ValueError(
+            "betas must ascend from 0.0 (prior) to 1.0 (posterior); "
+            "use power_ladder() for the default schedule."
+        )
+    if n_steps_per_rung < 1:
+        raise ValueError("n_steps_per_rung must be >= 1")
+    K = len(betas_t)
+    C = num_chains
+    T = int(n_steps_per_rung)
+    master = as_key(key)
+    key_init, key_pilot, key_run = jax.random.split(master, 3)
+
+    draw_flat, prior_lp_flat, unravel, d = _flatten_prior(prior, master)
+    loglik_b = jax.vmap(lambda v: loglik_fn(unravel(v)))
+    prior_lp_b = jax.vmap(prior_lp_flat)
+    betas_arr = jnp.asarray(betas_t, jnp.float32)
+
+    # -- per-rung proposal scales (frozen BEFORE the measured sweep) --------
+    if proposal_scale == "auto":
+        # pilot: the log_evidence flat-batch trick — K rungs × Cp chains
+        # dual-average per chain, freeze the per-rung median.
+        Cp = min(64, C)
+        B = K * Cp
+        beta_vec = jnp.repeat(betas_arr, Cp)
+        x0p = jax.vmap(draw_flat)(jax.random.split(key_pilot, B))
+        t0_da, kappa, gamma = 10.0, 0.75, 0.05
+        eps0 = jnp.full((B,), 0.5, jnp.float32)
+        mu_da = jnp.log(10.0 * eps0)
+
+        @jax.jit
+        def pilot(x0):
+            lp0 = prior_lp_b(x0) + beta_vec * loglik_b(x0)
+
+            def body(carry, j):
+                x, lp, log_eps, leb, h_bar = carry
+                kj = jax.random.fold_in(key_pilot, j)
+                kp, ka = jax.random.split(kj)
+                eps = jnp.exp(log_eps)
+                cand = x + eps[:, None] * jax.random.normal(kp, x.shape, x.dtype)
+                lp_cand = prior_lp_b(cand) + beta_vec * loglik_b(cand)
+                acc = -jax.random.exponential(ka, (B,)) < lp_cand - lp
+                x = jnp.where(acc[:, None], cand, x)
+                lp = jnp.where(acc, lp_cand, lp)
+                t = (j + 1).astype(jnp.float32)
+                w = 1.0 / (t + t0_da)
+                h_bar = (1.0 - w) * h_bar + w * (
+                    target_accept - acc.astype(jnp.float32)
+                )
+                log_eps = mu_da - jnp.sqrt(t) / gamma * h_bar
+                eta = jnp.power(t, -kappa)
+                leb = eta * log_eps + (1.0 - eta) * leb
+                return (x, lp, log_eps, leb, h_bar), None
+
+            carry = (x0, lp0, jnp.log(eps0), jnp.log(eps0),
+                     jnp.zeros((B,), jnp.float32))
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(n_pilot))
+            return jnp.exp(carry[3])
+
+        eps_k = jnp.median(pilot(x0p).reshape(K, Cp), axis=1)  # (K,)
+    elif isinstance(proposal_scale, str):
+        raise ValueError(f"unknown proposal_scale: {proposal_scale!r}")
+    else:
+        ps = jnp.asarray(proposal_scale, jnp.float32)
+        if ps.ndim == 0:
+            eps_k = jnp.full((K,), ps)
+        elif ps.shape == (K,):
+            eps_k = ps
+        else:
+            raise ValueError(
+                f"proposal_scale must be 'auto', a scalar, or a length-{K} "
+                f"per-rung sequence; got shape {ps.shape}"
+            )
+
+    # -- the measured AIS sweep --------------------------------------------
+    x0 = jax.vmap(draw_flat)(jax.random.split(key_init, C))  # (C, d)
+
+    @jax.jit
+    def sweep(x0, eps_k):
+        ll0 = loglik_b(x0)
+        plp0 = prior_lp_b(x0)
+        w0 = jnp.zeros((C,), jnp.float32)
+
+        # scan over rungs k = 1..K-1: weight increment uses the CURRENT
+        # x ~ π_{β_{k-1}}, then T transitions re-equilibrate at β_k.
+        def rung(carry, xs):
+            x, plp, ll, w = carry
+            k, beta, dbeta, eps = xs
+            w = w + dbeta * ll
+            lp = plp + beta * ll
+
+            def step(t, carry):
+                x, plp, ll, lp = carry
+                kj = jax.random.fold_in(key_run, k * T + t)
+                kp, ka = jax.random.split(kj)
+                cand = x + eps * jax.random.normal(kp, x.shape, x.dtype)
+                plp_c = prior_lp_b(cand)
+                ll_c = loglik_b(cand)
+                lp_c = plp_c + beta * ll_c
+                acc = -jax.random.exponential(ka, (C,)) < lp_c - lp
+                x = jnp.where(acc[:, None], cand, x)
+                plp = jnp.where(acc, plp_c, plp)
+                ll = jnp.where(acc, ll_c, ll)
+                lp = jnp.where(acc, lp_c, lp)
+                return x, plp, ll, lp, acc
+
+            accs = jnp.zeros((C,), jnp.float32)
+            def body(t, c):
+                x, plp, ll, lp, accs = c
+                x, plp, ll, lp, acc = step(t, (x, plp, ll, lp))
+                return x, plp, ll, lp, accs + acc.astype(jnp.float32)
+
+            x, plp, ll, lp, accs = jax.lax.fori_loop(
+                0, T, body, (x, plp, ll, lp, accs)
+            )
+            return (x, plp, ll, w), jnp.mean(accs) / T
+
+        xs = (
+            jnp.arange(1, K),
+            betas_arr[1:],
+            betas_arr[1:] - betas_arr[:-1],
+            eps_k[1:],
+        )
+        (x, _, _, w), acc = jax.lax.scan(rung, (x0, plp0, ll0, w0), xs)
+        return w, acc  # (C,), (K-1,)
+
+    w, acc = sweep(x0, eps_k)
+    log_z = float(jax.scipy.special.logsumexp(w) - math.log(C))
+    # delta method: Ẑ = mean(exp w) ⇒ SE(log Ẑ) ≈ sd(w̃)/√C with
+    # w̃ = exp(w − log Ẑ) the mean-1 normalized weights.
+    wt = np.exp(np.asarray(w, np.float64) - log_z)
+    se = float(wt.std(ddof=1) / math.sqrt(C))
+    ess_w = float(wt.sum() ** 2 / (wt**2).sum())  # Kish ESS
+
+    acc_np = np.asarray(acc)
+    bad = np.nonzero(acc_np < min_acceptance)[0]
+    if bad.size:
+        warnings.warn(
+            f"log_evidence_ais: ladder rungs {(bad + 1).tolist()} (β = "
+            f"{[round(betas_t[i + 1], 4) for i in bad.tolist()]}) have "
+            f"acceptance {[round(float(a), 3) for a in acc_np[bad]]} < "
+            f"{min_acceptance}; AIS stays unbiased but the weight spread "
+            "grows — check ess_weights, and increase n_steps_per_rung or "
+            "refine the ladder.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    return {
+        "log_z_ais": log_z,
+        "se_ais": se,
+        "ess_weights": ess_w,
+        "betas": betas_t,
+        "acceptance": acc_np,
+        "proposal_scales": np.asarray(eps_k),
     }

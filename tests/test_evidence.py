@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from advancedmh_tpu import MvNormal, Normal, log_evidence, power_ladder
+from advancedmh_tpu import MvNormal, Normal, log_evidence, log_evidence_ais, power_ladder
 
 
 def _analytic_log_evidence(y, sigma, tau):
@@ -168,3 +168,96 @@ class TestMechanics:
     def test_non_distribution_prior_raises(self):
         with pytest.raises(TypeError, match="Distribution"):
             log_evidence(lambda th: jnp.zeros(()), lambda x: 0.0, 10, key=0)
+
+
+class TestAIS:
+    """Annealed importance sampling (log_evidence_ais, Neal 2001)."""
+
+    def test_normal_normal_ais(self):
+        y = np.asarray([0.8, 1.3, 0.2, 1.0, 0.6], np.float32)
+        y_j = jnp.asarray(y)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], 1.0).log_prob(y_j))
+
+        out = log_evidence_ais(
+            loglik, MvNormal(jnp.zeros(1), scale=1.0), key=0,
+            num_chains=512, n_steps_per_rung=4, proposal_scale=0.6,
+        )
+        want = _analytic_log_evidence(y, 1.0, 1.0)
+        assert abs(out["log_z_ais"] - want) < 0.05
+        assert out["se_ais"] > 0.0
+        assert abs(out["log_z_ais"] - want) < 3.0 * out["se_ais"] + 0.02
+        # weights should be healthy on this easy model
+        assert out["ess_weights"] > 100.0
+        assert np.all(out["acceptance"] > 0.1)
+
+    def test_flat_likelihood_exact_zero(self):
+        """L ≡ 1 ⇒ every weight increment is 0 ⇒ log Z = 0 exactly."""
+        out = log_evidence_ais(
+            lambda th: jnp.zeros(()), MvNormal(jnp.zeros(2), scale=1.0),
+            key=1, num_chains=32, n_steps_per_rung=1,
+            betas=(0.0, 0.5, 1.0), proposal_scale=1.0,
+        )
+        assert out["log_z_ais"] == 0.0
+        assert out["ess_weights"] == pytest.approx(32.0)
+
+    def test_auto_pilot_scales_monotone_shrink(self):
+        """auto scaling: hot rungs of a concentrated likelihood get smaller
+        proposal scales than the prior rung."""
+        y = jnp.zeros(50)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], 0.1).log_prob(y))
+
+        out = log_evidence_ais(
+            loglik, MvNormal(jnp.zeros(1), scale=1.0), key=2,
+            num_chains=256, n_steps_per_rung=3, n_pilot=300,
+        )
+        s = out["proposal_scales"]
+        assert s[-1] < 0.5 * s[0]
+        # unbiasedness sanity vs closed form (wide SE tolerance)
+        want = _analytic_log_evidence(np.zeros(50, np.float32), 0.1, 1.0)
+        assert abs(out["log_z_ais"] - want) < max(0.3, 4.0 * out["se_ais"])
+
+    def test_pytree_prior(self):
+        """Pytree prior: loglik receives the same structure (≙ log_evidence)."""
+        y1 = np.asarray([0.5, -0.2, 0.9], np.float32)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta["mu"][0], 1.0).log_prob(jnp.asarray(y1)))
+
+        out = log_evidence_ais(
+            loglik, {"mu": MvNormal(jnp.zeros(1), scale=1.0)}, key=3,
+            num_chains=256, proposal_scale=0.6,
+        )
+        want = _analytic_log_evidence(y1, 1.0, 1.0)
+        assert abs(out["log_z_ais"] - want) < 0.1
+
+    def test_validation(self):
+        prior = MvNormal(jnp.zeros(1), scale=1.0)
+        with pytest.raises(ValueError, match="betas"):
+            log_evidence_ais(lambda t: jnp.zeros(()), prior, key=0,
+                             betas=(0.0, 0.5))
+        with pytest.raises(ValueError, match="n_steps_per_rung"):
+            log_evidence_ais(lambda t: jnp.zeros(()), prior, key=0,
+                             n_steps_per_rung=0)
+        with pytest.raises(ValueError, match="proposal_scale"):
+            log_evidence_ais(lambda t: jnp.zeros(()), prior, key=0,
+                             proposal_scale="bogus")
+        with pytest.raises(ValueError, match="proposal_scale"):
+            log_evidence_ais(lambda t: jnp.zeros(()), prior, key=0,
+                             betas=(0.0, 1.0), proposal_scale=(1.0, 0.5, 0.2))
+
+    def test_low_acceptance_warns(self):
+        y = jnp.zeros(80)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], 0.05).log_prob(y))
+
+        with pytest.warns(UserWarning, match="ess_weights"):
+            log_evidence_ais(
+                loglik, MvNormal(jnp.zeros(1), scale=1.0), key=4,
+                num_chains=64, n_steps_per_rung=4, betas=(0.0, 0.1, 1.0),
+                proposal_scale=25.0,
+            )
