@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 import numpy as np
 
-from advancedmh_tpu import MvNormal, Normal, log_evidence
+from advancedmh_tpu import MvNormal, Normal, log_evidence, log_evidence_ais
 
 N_SAMPLES = int(os.environ.get("N_SAMPLES", 3000))
 NUM_CHAINS = int(os.environ.get("NUM_CHAINS", 64))
@@ -47,6 +47,16 @@ def main():
     print(f"auto proposal scales: {np.round(out['proposal_scales'], 3)}")
     assert abs(out["log_z_ss"] - want) < max(0.1, 4 * out["se_ss"])
     assert np.all(out["acceptance"] > 0.1)
+
+    # Third estimator: AIS (Neal 2001) — every chain sweeps the ladder,
+    # unbiased in Z for any ladder; weight health shown by the Kish ESS.
+    ais = log_evidence_ais(
+        loglik, MvNormal(jnp.zeros(1), scale=tau), key=1,
+        num_chains=max(256, NUM_CHAINS),
+    )
+    print(f"AIS                  = {ais['log_z_ais']:+.4f} ± {ais['se_ais']:.4f}"
+          f"  (weight ESS {ais['ess_weights']:.0f})")
+    assert abs(ais["log_z_ais"] - want) < max(0.1, 4 * ais["se_ais"])
 
 
 if __name__ == "__main__":
