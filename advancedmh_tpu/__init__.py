@@ -68,6 +68,7 @@ from .samplers import (
     AdaptiveMetropolis,
     AdaptiveMetropolisState,
     Barker,
+    HamiltonianMC,
     EllipticalSlice,
     MultipleTryMetropolis,
     SliceSampler,
@@ -118,7 +119,7 @@ __all__ = [
     "DRAM", "DelayedRejection", "Ensemble", "PreconditionedCrankNicolson", "StretchProposal", "WalkProposal",
     "ReplicaExchange",
     "swap_rates", "tune_betas",
-    "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker",
+    "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker", "HamiltonianMC",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "DifferentialEvolution", "StepSizeAdaptation",
     "Transition", "GradientTransition",

@@ -17,6 +17,7 @@ from .emcee import Ensemble, StretchProposal, WalkProposal
 from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_betas
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
+from .hmc import HamiltonianMC
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
@@ -50,6 +51,7 @@ __all__ = [
     "AdaptiveMetropolis",
     "AdaptiveMetropolisState",
     "Barker",
+    "HamiltonianMC",
     "EllipticalSlice",
     "MultipleTryMetropolis",
     "SliceSampler",

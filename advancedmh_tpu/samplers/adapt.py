@@ -265,6 +265,27 @@ class StepSizeAdaptation(Sampler):
         )
 
     @staticmethod
+    def hmc(
+        n_leapfrog: int = 10,
+        target_accept: float = 0.65,
+        initial_step_size: float = 0.1,
+        inverse_mass=None,
+        **kw,
+    ) -> "StepSizeAdaptation":
+        """Fixed-trajectory HMC family tuned to the Neal/HG14 optimum 0.65
+        (Neal 2011 §5.4.4; Hoffman-Gelman 2014 use 0.65 for static HMC)."""
+        from .hmc import HamiltonianMC
+
+        return StepSizeAdaptation(
+            lambda eps: HamiltonianMC(
+                step_size=eps, n_leapfrog=n_leapfrog, inverse_mass=inverse_mass
+            ),
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+            **kw,
+        )
+
+    @staticmethod
     def barker(
         target_accept: float = 0.57, initial_step_size: float = 0.5, **kw
     ) -> "StepSizeAdaptation":
