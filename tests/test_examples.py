@@ -66,3 +66,7 @@ def test_pooled_adapt_example():
         "pooled_adapt_example",
         {"N_SAMPLES": "10", "NUM_CHAINS": "96", "NUM_WARMUP": "200"},
     )
+
+
+def test_hmc_example():
+    _run("hmc_example", {"N_SAMPLES": "1500"})
