@@ -465,6 +465,79 @@ def sample_fused_mala(
     return transitions, final_state
 
 
+def sample_fused_hmc(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused HMC engine (ops/pallas_hmc.py): whole leapfrog trajectories in
+    VMEM with in-kernel vjp gradients. Supports scalar/diagonal
+    ``inverse_mass`` (pytree masses need the XLA engine)."""
+    from ..ops.pallas_hmc import fused_hmc_sample
+    from ..samplers.base import GradientTransition
+
+    if initial_params is None:
+        raise ValueError("please specify initial parameters")
+    minv = sampler.inverse_mass
+    if minv is not None:
+        minv = np.asarray(minv, np.float32)
+        if minv.ndim > 1:
+            raise ValueError(
+                "engine='fused' HMC supports scalar/diagonal inverse_mass; "
+                "pytree masses need the XLA engine."
+            )
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
+    )
+
+    run = fused_hmc_sample(
+        tile_fn, d=d, step_size=float(sampler.step_size),
+        n_leapfrog=int(sampler.n_leapfrog), n_samples=n_samples, burn=burn,
+        thin=thinning, inverse_mass=minv, consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs = run(x_t, lp0, g0, seed)
+    _fence_launch(samples)
+
+    params = jnp.transpose(samples, (2, 0, 1))
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    grad_last_t = jax.grad(
+        lambda xm: jnp.sum(tile_fn(xm, *const_args))
+    )(jnp.transpose(params[:, -1, :]))  # (d, C)
+    transitions = Transition(params, lp, accepted)
+    final_state = GradientTransition(
+        params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t), accepted[:, -1]
+    )
+    return transitions, final_state
+
+
 def sample_fused_barker(
     model,
     sampler,

@@ -381,6 +381,7 @@ def sample(
         from ..samplers.emcee import Ensemble as _Ensemble
         from ..samplers.ess import EllipticalSlice as _ESS
         from ..samplers.pcn import PreconditionedCrankNicolson as _PCN
+        from ..samplers.hmc import HamiltonianMC as _HMC
         from ..samplers.mala import MALA as _MALA
         from ..samplers.slice import SliceSampler as _Slice
         from ..samplers.adapt import StepSizeAdaptation as _SSA
@@ -395,6 +396,7 @@ def sample(
             sample_fused_emcee,
             sample_fused_ess,
             sample_fused_pcn,
+            sample_fused_hmc,
             sample_fused_mala,
             sample_fused_slice,
             sample_fused_ram,
@@ -537,6 +539,14 @@ def sample(
             )
         elif isinstance(sampler, _Slice):
             transitions, final_state = sample_fused_slice(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _HMC):
+            transitions, final_state = sample_fused_hmc(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,

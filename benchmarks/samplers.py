@@ -457,6 +457,48 @@ def bench_mala_fused(C=16384, n=4000):
     return C * n / best
 
 
+def bench_hmc(C=16384, n=1000, L=5):
+    """XLA batched HMC: L leapfrog steps (L+0 value_and_grad evals) per
+    chain-step — reported in chain-steps/s (multiply by L for grad-evals)."""
+    from advancedmh_tpu import HamiltonianMC
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = HamiltonianMC(0.05, L)
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
+def bench_hmc_fused(C=16384, n=1000, L=5):
+    """Fused HMC engine (TPU only): whole trajectories in VMEM."""
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+    from advancedmh_tpu.ops.pallas_hmc import fused_hmc_sample
+
+    model = gaussian_mean_scale_model()
+    run = fused_hmc_sample(
+        model.tile_density, d=2, step_size=0.05, n_leapfrog=L, n_samples=n,
+        burn=0, thin=1, consts=model.tile_consts, tile_chains=2048,
+    )
+    x_t = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, C))
+    ca = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(x_t, *ca)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *ca)))(x_t)
+
+    def go(seed):
+        s, lp, a = run(x_t, lp0, g0, seed)
+        return _fence(lp[-1])
+
+    best, _ = best_of(go)
+    return C * n / best
+
+
 def bench_barker_fused(C=16384, n=4000):
     """Fused Barker engine (TPU only), every draw emitted."""
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
@@ -606,8 +648,10 @@ def main():
         ("mtm", bench_mtm),
         ("am", bench_am),
         ("barker", bench_barker),
+        ("hmc", bench_hmc),
     ] + ([
         ("mala_fused", bench_mala_fused),
+        ("hmc_fused", bench_hmc_fused),
         ("ram_fused", bench_ram_fused),
         ("adapt_rwmh_fused", bench_adapt_rwmh_fused),
         ("am_fused", bench_am_fused),
