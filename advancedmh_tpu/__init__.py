@@ -69,6 +69,8 @@ from .samplers import (
     AdaptiveMetropolisState,
     Barker,
     HamiltonianMC,
+    AdaptiveHMC,
+    AdaptiveHMCState,
     EllipticalSlice,
     MultipleTryMetropolis,
     SliceSampler,
@@ -120,6 +122,7 @@ __all__ = [
     "ReplicaExchange",
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker", "HamiltonianMC",
+    "AdaptiveHMC", "AdaptiveHMCState",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "DifferentialEvolution", "StepSizeAdaptation",
     "Transition", "GradientTransition",

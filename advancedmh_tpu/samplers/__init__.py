@@ -18,6 +18,7 @@ from .tempering import ReplicaExchange, ReplicaExchangeState, swap_rates, tune_b
 from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
 from .hmc import HamiltonianMC
+from .hmc_adapt import AdaptiveHMC, AdaptiveHMCState
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
@@ -52,6 +53,8 @@ __all__ = [
     "AdaptiveMetropolisState",
     "Barker",
     "HamiltonianMC",
+    "AdaptiveHMC",
+    "AdaptiveHMCState",
     "EllipticalSlice",
     "MultipleTryMetropolis",
     "SliceSampler",

@@ -172,12 +172,20 @@ class HamiltonianMC(Sampler):
         eps = jnp.asarray(self.step_size, jnp.float32)
         minv = self._minv(state.params)
 
+        def e_for(leaf):
+            # Per-chain step sizes (shape == batch_shape, e.g. from
+            # AdaptiveHMC) broadcast against each leaf's event dims; a
+            # scalar ε passes through untouched.
+            if eps.ndim == 0 or eps.ndim == leaf.ndim:
+                return eps
+            return eps.reshape(eps.shape + (1,) * (leaf.ndim - eps.ndim))
+
         def body(_, carry):
             x, p, lp, grad = carry
-            p = _tmap(lambda pp, g: pp + 0.5 * eps * g, p, grad)
-            x = _tmap(lambda xx, pp, m: xx + eps * m * pp, x, p, minv)
+            p = _tmap(lambda pp, g: pp + 0.5 * e_for(pp) * g, p, grad)
+            x = _tmap(lambda xx, pp, m: xx + e_for(xx) * m * pp, x, p, minv)
             lp, grad = vg(x)
-            p = _tmap(lambda pp, g: pp + 0.5 * eps * g, p, grad)
+            p = _tmap(lambda pp, g: pp + 0.5 * e_for(pp) * g, p, grad)
             return x, p, lp, grad
 
         x1, p1, lp1, grad1 = jax.lax.fori_loop(

@@ -476,6 +476,26 @@ def bench_hmc(C=16384, n=1000, L=5):
     return C * n / _time_scan(step, state, n)
 
 
+def bench_adaptive_hmc(C=16384, n=1000, L=5):
+    """XLA batched AdaptiveHMC warmup step: HMC trajectory + dual-averaging
+    + Welford mass update per step (the adaptation overhead should be
+    invisible next to L gradient evals)."""
+    from advancedmh_tpu import AdaptiveHMC
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = AdaptiveHMC(n_leapfrog=L, initial_step_size=0.05)
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_warmup_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
 def bench_hmc_fused(C=16384, n=1000, L=5):
     """Fused HMC engine (TPU only): whole trajectories in VMEM."""
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
@@ -649,6 +669,7 @@ def main():
         ("am", bench_am),
         ("barker", bench_barker),
         ("hmc", bench_hmc),
+        ("adaptive_hmc", bench_adaptive_hmc),
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("hmc_fused", bench_hmc_fused),

@@ -152,3 +152,112 @@ class TestAdapted:
         assert abs(acc - 0.65) < 0.12
         draws = np.asarray(res.transitions.params).reshape(-1, 2)
         assert np.abs(draws.mean(axis=0)).max() < 0.15
+
+
+class TestAdaptiveHMC:
+    """AdaptiveHMC (samplers/hmc_adapt.py): joint ε + diag-mass warmup."""
+
+    def _aniso_model(self):
+        var = jnp.array([25.0, 0.25])
+        return DensityModel(lambda x: -0.5 * jnp.sum(x * x / var)), var
+
+    def test_validation(self):
+        from advancedmh_tpu import AdaptiveHMC
+
+        with pytest.raises(ValueError, match="n_leapfrog"):
+            AdaptiveHMC(n_leapfrog=0)
+        with pytest.raises(ValueError, match="target_accept"):
+            AdaptiveHMC(target_accept=1.5)
+        with pytest.raises(ValueError, match="gamma"):
+            AdaptiveHMC(gamma=0.0)
+        with pytest.raises(ValueError, match="mass_regularization"):
+            AdaptiveHMC(mass_regularization=-1.0)
+
+    def test_mass_matrix_recovers_scales(self):
+        """Adapted diag(M⁻¹) ≈ the posterior variances (100:1 anisotropy)."""
+        from advancedmh_tpu import AdaptiveHMC
+
+        model, var = self._aniso_model()
+        res = sample(
+            model, AdaptiveHMC(n_leapfrog=10), 400, key=10, num_chains=64,
+            num_warmup=400, initial_params=jnp.zeros(2),
+        )
+        inv_mass = np.asarray(res.final_state.inverse_mass).mean(axis=0)
+        assert np.allclose(inv_mass, np.asarray(var), rtol=0.35)
+        x = np.asarray(res.transitions.params)
+        assert np.allclose(x.var(axis=(0, 1)), np.asarray(var), rtol=0.3)
+        assert np.abs(x.mean(axis=(0, 1)) / np.sqrt(np.asarray(var))).max() < 0.1
+
+    def test_pooled_mass_shared_and_faster(self):
+        """pooled=True: one shared estimate (identical across chains), and
+        with C chains of information per step it locks on in a warmup far
+        too short for per-chain estimation."""
+        from advancedmh_tpu import AdaptiveHMC
+
+        model, var = self._aniso_model()
+        short = 60  # >> mass_warm_start but ~2 per-chain effective samples
+        res = sample(
+            model, AdaptiveHMC(n_leapfrog=10, pooled=True), 100, key=11,
+            num_chains=128, num_warmup=short, initial_params=jnp.zeros(2),
+        )
+        im = np.asarray(res.final_state.inverse_mass)
+        assert np.allclose(im, im[:1], atol=0.0)  # replicated across chains
+        assert np.allclose(im[0], np.asarray(var), rtol=0.5)
+
+        res_pc = sample(
+            model, AdaptiveHMC(n_leapfrog=10, pooled=False), 100, key=11,
+            num_chains=128, num_warmup=short, initial_params=jnp.zeros(2),
+        )
+        im_pc = np.asarray(res_pc.final_state.inverse_mass).mean(axis=0)
+        err = lambda est: np.abs(np.log(est) - np.log(np.asarray(var))).max()
+        assert err(im[0]) < err(im_pc)
+
+    def test_frozen_after_warmup(self):
+        """Post-warmup: ε and M⁻¹ frozen (≙ RAM frozen-S main phase)."""
+        from advancedmh_tpu import AdaptiveHMC
+
+        model, _ = self._aniso_model()
+        spl = AdaptiveHMC(n_leapfrog=5)
+        res = sample(
+            model, spl, 50, key=12, num_chains=8, num_warmup=100,
+            initial_params=jnp.zeros(2), collect_states=True,
+        )
+        im = np.asarray(res.states.inverse_mass)  # (C, S, d)
+        assert np.all(im[:, 1:] == im[:, :1])
+        eps = np.asarray(res.states.log_eps_bar)
+        assert np.all(eps[:, 1:] == eps[:, :1])
+
+    def test_acceptance_near_target(self):
+        from advancedmh_tpu import AdaptiveHMC
+
+        model = correlated_gaussian_model(COV)
+        res = sample(
+            model, AdaptiveHMC(n_leapfrog=5, initial_step_size=0.02),
+            600, key=13, num_chains=32, num_warmup=600,
+            initial_params=jnp.zeros(2),
+        )
+        acc = float(np.asarray(res.transitions.accepted).mean())
+        assert abs(acc - 0.65) < 0.17
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert np.abs(np.cov(draws.T) - COV).max() < 0.25
+
+    def test_pytree_params_mass(self):
+        """Mass adaptation over dict-pytree params: each leaf gets its own
+        per-dimension scale."""
+        from advancedmh_tpu import AdaptiveHMC
+
+        def logdensity(p):
+            return -0.5 * (
+                jnp.sum(p["a"] ** 2 / 9.0) + jnp.sum((p["b"] - 1.0) ** 2) / 0.25
+            )
+
+        model = DensityModel(logdensity)
+        res = sample(
+            model, AdaptiveHMC(n_leapfrog=8), 300, key=14, num_chains=32,
+            num_warmup=300,
+            initial_params={"a": jnp.zeros(2), "b": jnp.zeros(())},
+        )
+        im_a = np.asarray(res.final_state.inverse_mass["a"]).mean(axis=0)
+        im_b = np.asarray(res.final_state.inverse_mass["b"]).mean()
+        assert np.allclose(im_a, 9.0, rtol=0.4)
+        assert abs(im_b - 0.25) < 0.12
