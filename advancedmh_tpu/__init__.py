@@ -71,6 +71,8 @@ from .samplers import (
     HamiltonianMC,
     AdaptiveHMC,
     AdaptiveHMCState,
+    ChEESHMC,
+    ChEESHMCState,
     EllipticalSlice,
     MultipleTryMetropolis,
     SliceSampler,
@@ -122,7 +124,7 @@ __all__ = [
     "ReplicaExchange",
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker", "HamiltonianMC",
-    "AdaptiveHMC", "AdaptiveHMCState",
+    "AdaptiveHMC", "AdaptiveHMCState", "ChEESHMC", "ChEESHMCState",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "DifferentialEvolution", "StepSizeAdaptation",
     "Transition", "GradientTransition",

@@ -19,6 +19,7 @@ from .am import AdaptiveMetropolis, AdaptiveMetropolisState
 from .barker import Barker
 from .hmc import HamiltonianMC
 from .hmc_adapt import AdaptiveHMC, AdaptiveHMCState
+from .chees import ChEESHMC, ChEESHMCState
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
@@ -55,6 +56,8 @@ __all__ = [
     "HamiltonianMC",
     "AdaptiveHMC",
     "AdaptiveHMCState",
+    "ChEESHMC",
+    "ChEESHMCState",
     "EllipticalSlice",
     "MultipleTryMetropolis",
     "SliceSampler",

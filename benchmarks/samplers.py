@@ -496,6 +496,28 @@ def bench_adaptive_hmc(C=16384, n=1000, L=5):
     return C * n / _time_scan(step, state, n)
 
 
+def bench_chees(C=16384, n=500):
+    """XLA batched ChEES-HMC warmup: one shared jittered trajectory (traced
+    while_loop) + Adam/dual-averaging/pooled-Welford updates per step.
+    Reported in chain-steps/s; per-step gradient evals vary with the
+    adapted L (the while_loop trip count)."""
+    from advancedmh_tpu import ChEESHMC
+    from advancedmh_tpu.models.targets import gaussian_mean_scale_model
+
+    model = gaussian_mean_scale_model()
+    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
+                   max_leapfrog=16)
+    master = jax.random.key(0)
+    keys = jax.random.split(master, C)
+    _, state = jax.jit(jax.vmap(
+        lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+    ))(keys)
+    step = lambda j, s: spl.step_warmup_batched(
+        jax.random.fold_in(master, j), s, model, (C,)
+    )[1]
+    return C * n / _time_scan(step, state, n)
+
+
 def bench_hmc_fused(C=16384, n=1000, L=5):
     """Fused HMC engine (TPU only): whole trajectories in VMEM."""
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
@@ -670,6 +692,7 @@ def main():
         ("barker", bench_barker),
         ("hmc", bench_hmc),
         ("adaptive_hmc", bench_adaptive_hmc),
+        ("chees", bench_chees),
     ] + ([
         ("mala_fused", bench_mala_fused),
         ("hmc_fused", bench_hmc_fused),
