@@ -113,3 +113,44 @@ class TestSingleChain:
         assert float(st.log_eps_bar) != pytest.approx(np.log(0.1))
         draws = np.asarray(res.transitions.params)
         assert np.abs(draws.mean(axis=0)).max() < 0.35
+
+
+class TestChunkedResume:
+    def test_chunked_equals_unchunked_across_warmup(self):
+        """Absolute-iteration keys + full adaptation state in the pytree:
+        chunked warmup (Adam/dual-averaging/Welford crossing chunk
+        boundaries) is bit-exact vs the unchunked run."""
+        from advancedmh_tpu import sample_chunked
+
+        model = correlated_gaussian_model(COV)
+        spl = ChEESHMC(initial_step_size=0.05, max_leapfrog=16)
+        kw = dict(key=11, num_chains=8, num_warmup=40, discard_initial=0,
+                  initial_params=jnp.zeros(2))
+        full = sample(model, spl, 60, **kw)
+        chunked = sample_chunked(model, spl, 60, chunk_size=17, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full.transitions.lp), chunked.transitions.lp
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.final_state.log_traj_bar),
+            np.asarray(chunked.final_state.log_traj_bar),
+        )
+
+
+class TestAdaptiveHMCChunked:
+    def test_chunked_equals_unchunked(self):
+        from advancedmh_tpu import AdaptiveHMC, sample_chunked
+
+        model = correlated_gaussian_model(COV)
+        spl = AdaptiveHMC(n_leapfrog=5, pooled=True)
+        kw = dict(key=12, num_chains=8, num_warmup=40, discard_initial=0,
+                  initial_params=jnp.zeros(2))
+        full = sample(model, spl, 60, **kw)
+        chunked = sample_chunked(model, spl, 60, chunk_size=17, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full.transitions.lp), chunked.transitions.lp
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.final_state.inverse_mass),
+            np.asarray(chunked.final_state.inverse_mass),
+        )

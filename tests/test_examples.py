@@ -70,3 +70,7 @@ def test_pooled_adapt_example():
 
 def test_hmc_example():
     _run("hmc_example", {"N_SAMPLES": "1500"})
+
+
+def test_chees_example():
+    _run("chees_example", {"N_SAMPLES": "300"})
