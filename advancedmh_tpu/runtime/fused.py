@@ -538,6 +538,116 @@ def sample_fused_hmc(
     return transitions, final_state
 
 
+def sample_fused_adaptive_hmc(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    num_warmup: int,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 1024,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused AdaptiveHMC engine (ops/pallas_hmc_adapt.py): joint per-chain
+    (ε, diag M⁻¹) warmup + frozen trajectory sampling in VMEM. Per-chain
+    adaptation only — ``pooled=True`` reduces across grid tiles and stays
+    on the XLA engine. Requires the standard ``discard_initial ==
+    num_warmup`` schedule (≙ sample_fused_adapt_rwmh)."""
+    from ..ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
+    from ..samplers.base import GradientTransition
+    from ..samplers.hmc_adapt import AdaptiveHMCState
+
+    if sampler.pooled:
+        raise ValueError(
+            "engine='fused' AdaptiveHMC is per-chain only (the pooled "
+            "cross-chain Welford merge spans grid tiles); use the XLA "
+            "engine for pooled=True."
+        )
+    if discard_initial != num_warmup:
+        raise ValueError(
+            "fused AdaptiveHMC supports the standard schedule "
+            "discard_initial == num_warmup; use the XLA path to keep "
+            "warmup draws."
+        )
+    if num_warmup < 1:
+        raise ValueError("fused AdaptiveHMC requires num_warmup >= 1")
+    if initial_params is None:
+        raise ValueError("please specify initial parameters")
+    d = model.dimension
+    if d is None:
+        d = int(np.asarray(initial_params).shape[-1])
+    tile_fn, consts = _tile_density_of(model)
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
+    )
+
+    run = fused_adaptive_hmc_sample(
+        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup,
+        n_leapfrog=int(sampler.n_leapfrog), thin=thinning,
+        initial_step_size=sampler.initial_step_size,
+        target_accept=sampler.target_accept,
+        t0=sampler.t0, kappa=sampler.kappa, gamma=sampler.gamma,
+        mu=sampler.mu,
+        mass_regularization=sampler.mass_regularization,
+        mass_warm_start=sampler.mass_warm_start,
+        consts=consts, tile_chains=tile,
+    )
+    if mesh is not None:
+        run = _shard_fused(run, mesh, mesh_axis)
+    run = _pad_chains(run, num_chains, c_pad)
+    init = jnp.asarray(initial_params, jnp.float32)
+    x_t = (
+        jnp.broadcast_to(init[:, None], (d, num_chains))
+        if init.ndim == 1
+        else jnp.asarray(init).T
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    lp0 = tile_fn(x_t, *const_args)
+    g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, eps_final, minv_final = run(x_t, lp0, g0, seed)
+    _fence_launch(samples)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    grad_last_t = jax.grad(
+        lambda xm: jnp.sum(tile_fn(xm, *const_args))
+    )(jnp.transpose(params[:, -1, :]))  # (d, C)
+    inner = GradientTransition(
+        params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t),
+        accepted[:, -1],
+    )
+    C = num_chains
+    log_eps = jnp.log(eps_final[0])  # (C,)
+    inv_mass = jnp.transpose(minv_final)  # (C, d)
+    # Reconstruct Welford M2 so an XLA-resumed chunk's regularized estimate
+    # reproduces the frozen inverse mass exactly (the est formula inverted
+    # at n = num_warmup).
+    nn = float(max(num_warmup, 1))
+    r = float(sampler.mass_regularization)
+    var = (inv_mass - 1e-3 * (r / (nn + r))) * ((nn + r) / nn)
+    m2 = jnp.maximum(var, 0.0) * max(nn - 1.0, 1.0)
+    final_state = AdaptiveHMCState(
+        inner=inner,
+        log_eps=log_eps,
+        log_eps_bar=log_eps,
+        h_bar=jnp.zeros((C,), jnp.float32),
+        t=jnp.full((C,), num_warmup + 1, jnp.int32),
+        mean=inner.params,
+        m2=m2,
+        n=jnp.full((C,), nn, jnp.float32),
+        inverse_mass=inv_mass,
+    )
+    return transitions, final_state
+
+
 def sample_fused_barker(
     model,
     sampler,

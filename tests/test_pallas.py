@@ -992,3 +992,59 @@ class TestFusedHMC:
         np.testing.assert_allclose(
             draws.var(0), [9.0, 1.0], rtol=0.1
         )
+
+
+@requires_tpu
+class TestFusedAdaptiveHMC:
+    def test_sample_engine_fused_adaptive_hmc(self):
+        """Fused AdaptiveHMC: joint per-chain (ε, diag M⁻¹) warmup in VMEM
+        recovers a 25:1 anisotropic posterior and the mass estimate, and
+        the engine targets the 0.65 acceptance optimum."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import AdaptiveHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        cov = np.diag([25.0, 1.0]).astype(np.float32)
+        model = correlated_gaussian_model(cov)
+        res = sample(
+            model, AdaptiveHMC(n_leapfrog=8, initial_step_size=0.05),
+            1000, key=30, num_chains=2048, engine="fused",
+            num_warmup=500, discard_initial=500,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(
+            draws.mean(0) / np.sqrt(np.diag(cov)), np.zeros(2), atol=0.1
+        )
+        np.testing.assert_allclose(np.cov(draws.T), cov, rtol=0.15, atol=0.1)
+        im = np.asarray(res.final_state.inverse_mass)  # (C, d)
+        np.testing.assert_allclose(
+            np.median(im, axis=0), np.diag(cov), rtol=0.5
+        )
+        # The frozen eps-bar lands acceptance above target (the kappa-
+        # weighted average includes the small early iterates — the XLA
+        # engine shows the same 0.78-0.81 on this target); assert the
+        # adaptation engaged and is not degenerate rather than a tight
+        # band around 0.65.
+        acc = float(np.asarray(res.transitions.accepted).mean())
+        assert 0.5 < acc < 0.95
+
+    def test_fused_adaptive_hmc_validation(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from advancedmh_tpu import AdaptiveHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        import numpy as np
+
+        model = correlated_gaussian_model(np.eye(2, dtype=np.float32))
+        with _pytest.raises(ValueError, match="pooled"):
+            sample(model, AdaptiveHMC(pooled=True), 10, key=0,
+                   num_chains=1024, engine="fused", num_warmup=20,
+                   discard_initial=20, initial_params=jnp.zeros(2))
+        with _pytest.raises(ValueError, match="discard_initial"):
+            sample(model, AdaptiveHMC(), 10, key=0, num_chains=1024,
+                   engine="fused", num_warmup=20, discard_initial=0,
+                   initial_params=jnp.zeros(2))
