@@ -200,6 +200,41 @@ def bench_ess_per_s_ram(model):
     return float(ess(samples[:, 0, :])) / best
 
 
+def bench_ess_per_s_adaptive_hmc(model):
+    """ESS/s of μ via the fused AdaptiveHMC engine: 500 joint (ε, mass)
+    warmup steps, then frozen trajectories — HMC's decorrelated draws buy
+    ESS/draw near 1 at L gradient evals per draw."""
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
+
+    N, W, L = 2000, 500, 8
+    run = fused_adaptive_hmc_sample(
+        model.tile_density, d=2, n_samples=N, warmup=W, n_leapfrog=L,
+        initial_step_size=0.05, consts=model.tile_consts, tile_chains=1024,
+    )
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(params, *consts)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+
+    def go(seed):
+        samples, _, accs, _eps, _minv = run(params, lp0, g0, seed)
+        float(samples[-1, 0, 0])  # scalar-read fence
+        return samples, accs
+
+    go(0)
+    best, samples = float("inf"), None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        out, accs = go(1 + trial)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, samples = dt, out
+    acc = float(accs.mean())
+    assert 0.1 < acc < 0.99, f"degenerate AdaptiveHMC acceptance {acc}"
+    return float(ess(samples[:, 0, :])) / best
+
+
 def bench_ess_per_s_adapt_rwmh(model):
     """ESS/s of μ for StepSizeAdaptation-wrapped RWMH on the XLA batched
     path: 1000 dual-averaging warmup steps, then frozen-ε̄ draws."""
@@ -274,6 +309,7 @@ def main():
         ("ess_per_s_mu_mala", bench_ess_per_s_mala),
         ("ess_per_s_mu_ram", bench_ess_per_s_ram),
         ("ess_per_s_mu_adapt_rwmh", bench_ess_per_s_adapt_rwmh),
+        ("ess_per_s_mu_adaptive_hmc", bench_ess_per_s_adaptive_hmc),
     ]:
         try:
             ess_fields[field] = fn(model)
