@@ -99,7 +99,7 @@ from .runtime import (
 )
 from .output import Chains, StructArray, chainscat
 from .diagnostics import (ess, ess_bulk, ess_tail, integrated_autocorr_time,
-                          mcse, rhat, rhat_rank)
+                          mcse, rhat, rhat_nested, rhat_rank)
 from .parallel import make_mesh, chain_sharding
 
 __version__ = "0.1.0"
@@ -136,7 +136,7 @@ __all__ = [
     # output / diagnostics
     "Chains", "StructArray", "chainscat", "ess", "ess_bulk", "ess_tail",
     "integrated_autocorr_time",
-    "rhat", "rhat_rank", "mcse",
+    "rhat", "rhat_nested", "rhat_rank", "mcse",
     # parallel
     "make_mesh", "chain_sharding",
 ]

@@ -1,5 +1,5 @@
 from .ess import (ess, ess_bulk, ess_tail, integrated_autocorr_time, mcse,
-                  rhat, rhat_rank)
+                  rhat, rhat_nested, rhat_rank)
 
 __all__ = ["ess", "ess_bulk", "ess_tail", "integrated_autocorr_time",
-           "mcse", "rhat", "rhat_rank"]
+           "mcse", "rhat", "rhat_nested", "rhat_rank"]

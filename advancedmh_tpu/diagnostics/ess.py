@@ -162,3 +162,50 @@ def integrated_autocorr_time(
     # smallest window satisfying the Sokal criterion; fall back to N−1
     idx = jnp.where(jnp.any(windowed), jnp.argmax(windowed), n - 1)
     return jnp.maximum(taus[idx], 1.0)
+
+
+def rhat_nested(x: jax.Array, num_superchains: int) -> jax.Array:
+    """Nested R̂ (Margossian, Hoffman, Sountsov, Vehtari et al. 2022) —
+    convergence assessment for the **many-short-chains regime** this
+    framework runs in (10k+ chains × tens of draws), where classic split-R̂
+    is powerless: with N small the within-chain variance estimate is pure
+    noise, and split-R̂ needs long chains to compare halves.
+
+    Chains are grouped into ``num_superchains`` groups of M = C/K chains
+    (contiguous along the chain axis; initialize each superchain's chains
+    from ONE common draw of an overdispersed init so between-superchain
+    spread witnesses non-convergence). With B̂ the population variance of
+    superchain means and Ŵ = mean_k(B̂_k + Ŵ_k) — the between-chain and
+    mean within-chain variances inside superchain k —
+
+        nR̂ = sqrt(1 + B̂ / Ŵ).
+
+    Valid down to N = 1 draw per chain (Ŵ_k degenerates to 0 and the
+    between-chain term carries the test) — the property that makes it the
+    right diagnostic after a short sampling phase on a big chain batch.
+
+    ``x``: draws shaped (N, C); C must be divisible by ``num_superchains``.
+    """
+    if x.ndim == 1:
+        raise ValueError("rhat_nested needs a chain axis: x shaped (N, C)")
+    n, c = x.shape
+    k = int(num_superchains)
+    if k < 2:
+        raise ValueError("num_superchains must be >= 2")
+    if c % k != 0:
+        raise ValueError(
+            f"num chains {c} must be divisible by num_superchains {k}"
+        )
+    m = c // k
+    xs = x.reshape(n, k, m)
+    chain_means = jnp.mean(xs, axis=0)  # (K, M)
+    within_chain = (
+        jnp.var(xs, axis=0, ddof=1) if n > 1
+        else jnp.zeros_like(chain_means)
+    )  # (K, M): s²_km (0 when a single draw per chain)
+    super_means = jnp.mean(chain_means, axis=1)  # (K,)
+    b_k = jnp.var(chain_means, axis=1)  # population var of chain means
+    w_k = jnp.mean(within_chain, axis=1)
+    b_hat = jnp.var(super_means)  # population var of superchain means
+    w_hat = jnp.mean(b_k + w_k)
+    return jnp.sqrt(1.0 + b_hat / jnp.maximum(w_hat, 1e-30))

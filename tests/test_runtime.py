@@ -317,3 +317,52 @@ class TestDiagnostics:
         assert "Iterations        = 26:" in text  # start/thin labeling
         assert "Thinning interval = 4" in text
         assert "μ" in text and "97.5%" in text
+
+
+class TestNestedRhat:
+    """rhat_nested (Margossian et al. 2022): the many-short-chains
+    convergence diagnostic."""
+
+    def test_converged_near_one(self):
+        import numpy as np
+        from advancedmh_tpu import rhat_nested
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(20, 256)).astype(np.float32)  # iid = converged
+        r = float(rhat_nested(jnp.asarray(x), num_superchains=8))
+        assert abs(r - 1.0) < 0.05
+
+    def test_detects_unmixed_superchains(self):
+        import numpy as np
+        from advancedmh_tpu import rhat_nested
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(20, 256)).astype(np.float32)
+        # Each superchain stuck in its own mode: offsets per 32-chain group
+        offsets = np.repeat(np.arange(8) * 5.0, 32)[None, :]
+        r = float(rhat_nested(jnp.asarray(x + offsets), num_superchains=8))
+        assert r > 2.0
+
+    def test_single_draw_per_chain(self):
+        """N=1 still works (the whole point vs split-R̂): within-chain
+        variance degenerates to 0, the between-chain term carries it."""
+        import numpy as np
+        from advancedmh_tpu import rhat_nested
+
+        rng = np.random.default_rng(2)
+        good = rng.normal(size=(1, 512)).astype(np.float32)
+        r_good = float(rhat_nested(jnp.asarray(good), num_superchains=8))
+        assert abs(r_good - 1.0) < 0.1
+        offsets = np.repeat(np.arange(8) * 5.0, 64)[None, :]
+        r_bad = float(rhat_nested(jnp.asarray(good + offsets), 8))
+        assert r_bad > 2.0
+
+    def test_validation(self):
+        from advancedmh_tpu import rhat_nested
+
+        with pytest.raises(ValueError, match="chain axis"):
+            rhat_nested(jnp.zeros(10), 2)
+        with pytest.raises(ValueError, match="divisible"):
+            rhat_nested(jnp.zeros((5, 10)), 3)
+        with pytest.raises(ValueError, match=">= 2"):
+            rhat_nested(jnp.zeros((5, 10)), 1)
