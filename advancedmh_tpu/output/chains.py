@@ -134,6 +134,18 @@ class Chains:
             for i, name in enumerate(self.names)
         }
 
+    def rhat_nested(self, num_superchains: int) -> Dict[str, float]:
+        """Per-parameter nested R̂ (Margossian et al. 2022) — the
+        convergence check for many-short-chains runs (valid down to a
+        single draw per chain). Chains are grouped contiguously into
+        ``num_superchains`` groups; see diagnostics.rhat_nested."""
+        from ..diagnostics import rhat_nested as _nrhat
+
+        return {
+            name: float(_nrhat(self.values[:, i, :], num_superchains))
+            for i, name in enumerate(self.names)
+        }
+
     DEFAULT_QUANTILES = (0.025, 0.25, 0.5, 0.75, 0.975)
 
     def quantiles(

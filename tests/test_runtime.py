@@ -366,3 +366,15 @@ class TestNestedRhat:
             rhat_nested(jnp.zeros((5, 10)), 3)
         with pytest.raises(ValueError, match=">= 2"):
             rhat_nested(jnp.zeros((5, 10)), 1)
+
+    def test_chains_method(self):
+        """Chains.rhat_nested: end-to-end through the bundle layer."""
+        from advancedmh_tpu import RWMH, MvNormal, sample
+        from tests.test_mh import MODEL
+
+        ch = sample(MODEL, RWMH(MvNormal(jnp.zeros(2), scale=0.2)), 50,
+                    key=3, num_chains=64, discard_initial=500,
+                    chain_type="chains", param_names=["μ", "σ"])
+        r = ch.rhat_nested(num_superchains=8)
+        assert set(r) == {"μ", "σ"}
+        assert all(0.9 < v < 1.2 for v in r.values())
