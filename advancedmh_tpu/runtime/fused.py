@@ -487,6 +487,11 @@ def sample_fused_hmc(
 
     if initial_params is None:
         raise ValueError("please specify initial parameters")
+    if sampler.trajectory_sampling != "endpoint":
+        raise ValueError(
+            "engine='fused' HMC is endpoint-only; multinomial trajectory "
+            "sampling runs on the XLA engine."
+        )
     minv = sampler.inverse_mass
     if minv is not None:
         minv = np.asarray(minv, np.float32)

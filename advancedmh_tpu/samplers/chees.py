@@ -52,7 +52,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.density import as_model, logdensity_and_gradient
+from ..models.density import as_model
 from ..utils import KeyArray, pytree_dataclass, replace
 from .base import GradientTransition, Sampler, accept_reject, select_tree
 from .hmc import HamiltonianMC

@@ -55,6 +55,13 @@ class HamiltonianMC(Sampler):
     step_size: float
     n_leapfrog: int = 10
     inverse_mass: Optional[Any] = None
+    # "endpoint": classic MH accept on the trajectory end (Duane 1987).
+    # "multinomial": uniform trajectory offset + multinomial over all L+1
+    # states with weights ∝ exp(lp − K) (Neal's windowed HMC with the
+    # window = whole trajectory; the within-trajectory sampling NUTS uses,
+    # Betancourt 2017 §A.3) — rejection-free, every gradient eval
+    # contributes, streamed as a Gumbel-argmax so memory stays O(1) in L.
+    trajectory_sampling: str = "endpoint"
 
     def __post_init__(self):
         # step_size may be a traced scalar under StepSizeAdaptation — only
@@ -63,6 +70,10 @@ class HamiltonianMC(Sampler):
             raise ValueError("step_size must be positive")
         if int(self.n_leapfrog) < 1:
             raise ValueError("n_leapfrog must be >= 1")
+        if self.trajectory_sampling not in ("endpoint", "multinomial"):
+            raise ValueError(
+                "trajectory_sampling must be 'endpoint' or 'multinomial'"
+            )
 
     # -- physics -----------------------------------------------------------
 
@@ -114,6 +125,113 @@ class HamiltonianMC(Sampler):
             0, int(self.n_leapfrog), body, (x, p, lp, grad)
         )
 
+    # -- multinomial trajectory sampling -----------------------------------
+
+    def _step_multinomial(
+        self, key: KeyArray, state: GradientTransition, model, batch_shape
+    ) -> Tuple[GradientTransition, GradientTransition]:
+        """Uniform-offset multinomial trajectory sampling (rejection-free).
+
+        A shared offset j ~ U{0..L} places the current state inside an
+        (L+1)-state orbit: integrate j leapfrog steps backward and L−j
+        forward (exactly L gradient evals, like the endpoint kernel), then
+        sample one state ∝ exp(lp − K) via a streaming Gumbel-argmax —
+        reversible by the windowed-HMC construction (Neal 1994 §4), exact
+        for any ε/L.
+        """
+        model = as_model(model)
+        bn = len(batch_shape)
+        key_mom, key_j, key_g = jax.random.split(key, 3)
+
+        if model.logdensity_and_gradient_fn is not None:
+            vg = model.logdensity_and_gradient_fn
+        else:
+            vg = jax.value_and_grad(model.logdensity_fn)
+        for _ in range(bn):
+            vg = jax.vmap(vg)
+
+        eps = jnp.asarray(self.step_size, jnp.float32)
+        minv = self._minv(state.params)
+        L = int(self.n_leapfrog)
+
+        def e_for(leaf):
+            if eps.ndim == 0 or eps.ndim == leaf.ndim:
+                return eps
+            return eps.reshape(eps.shape + (1,) * (leaf.ndim - eps.ndim))
+
+        def ke(p):
+            parts = _tmap(
+                lambda pp, m: jnp.sum(
+                    pp * pp * m * 0.5, axis=tuple(range(bn, pp.ndim))
+                ),
+                p, minv,
+            )
+            return jax.tree_util.tree_reduce(jnp.add, parts)
+
+        def leap(x, p, grad, sign):
+            p = _tmap(lambda pp, g: pp + sign * 0.5 * e_for(pp) * g, p, grad)
+            x = _tmap(
+                lambda xx, pp, m: xx + sign * e_for(xx) * m * pp, x, p, minv
+            )
+            lp, grad = vg(x)
+            p = _tmap(lambda pp, g: pp + sign * 0.5 * e_for(pp) * g, p, grad)
+            return x, p, lp, grad
+
+        def sel(mask, c, prev):
+            m = mask.reshape(mask.shape + (1,) * (c.ndim - bn))
+            return jnp.where(m, c, prev)
+
+        p0 = self._draw_momentum(key_mom, state.params)
+        j = jax.random.randint(key_j, (), 0, L + 1)
+
+        # Streamed argmax over w_i + Gumbel_i, w_i = lp_i − K_i; the moved
+        # flag records whether any non-initial state won.
+        g0 = jax.random.gumbel(
+            jax.random.fold_in(key_g, 0), batch_shape, jnp.float32
+        )
+        best0 = (
+            state.lp - ke(p0) + g0,  # score
+            state.params, state.lp, state.gradient,
+            jnp.zeros(batch_shape, jnp.float32),  # moved
+        )
+
+        def segment(n_steps, sign, idx_base, carry):
+            def cond(c):
+                return c[0] < n_steps
+
+            def body(c):
+                i, x, p, lp, grad, best = c
+                x, p, lp, grad = leap(x, p, grad, sign)
+                gum = jax.random.gumbel(
+                    jax.random.fold_in(key_g, idx_base + i + 1),
+                    batch_shape, jnp.float32,
+                )
+                score = lp - ke(p) + gum
+                bscore, bx, blp, bgrad, moved = best
+                upd = score > bscore
+                best = (
+                    jnp.where(upd, score, bscore),
+                    _tmap(lambda c_, p_: sel(upd, c_, p_), x, bx),
+                    jnp.where(upd, lp, blp),
+                    _tmap(lambda c_, p_: sel(upd, c_, p_), grad, bgrad),
+                    jnp.where(upd, 1.0, moved),
+                )
+                return i + 1, x, p, lp, grad, best
+
+            _, _, _, _, _, best = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((), jnp.int32), state.params, p0, state.lp,
+                 state.gradient, carry),
+            )
+            return best
+
+        best = segment(j, jnp.float32(-1.0), jnp.zeros((), jnp.int32), best0)
+        best = segment(L - j, jnp.float32(1.0), j, best)
+        _, x_sel, lp_sel, grad_sel, moved = best
+        accepted = moved > 0.5
+        t = GradientTransition(x_sel, lp_sel, grad_sel, accepted)
+        return t, t
+
     # -- kernel ------------------------------------------------------------
 
     def init(
@@ -132,6 +250,8 @@ class HamiltonianMC(Sampler):
     def step(
         self, key: KeyArray, state: GradientTransition, model
     ) -> Tuple[GradientTransition, GradientTransition]:
+        if self.trajectory_sampling == "multinomial":
+            return self._step_multinomial(key, state, model, ())
         model = as_model(model)
         key_mom, key_acc = jax.random.split(key)
         p0 = self._draw_momentum(key_mom, state.params)
@@ -155,6 +275,8 @@ class HamiltonianMC(Sampler):
     ) -> Tuple[GradientTransition, GradientTransition]:
         """Vectorized HMC step: one batched value-and-gradient per leapfrog
         step across the whole chain batch (the hot path)."""
+        if self.trajectory_sampling == "multinomial":
+            return self._step_multinomial(key, state, model, batch_shape)
         model = as_model(model)
         key_mom, key_acc = jax.random.split(key)
         bn = len(batch_shape)

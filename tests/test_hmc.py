@@ -261,3 +261,63 @@ class TestAdaptiveHMC:
         im_b = np.asarray(res.final_state.inverse_mass["b"]).mean()
         assert np.allclose(im_a, 9.0, rtol=0.4)
         assert abs(im_b - 0.25) < 0.12
+
+
+class TestMultinomialTrajectory:
+    """trajectory_sampling="multinomial": uniform-offset multinomial over
+    the whole orbit (Neal windowed / Betancourt within-trajectory sampling).
+    Exact for any ε/L; strictly better use of the same L gradient evals."""
+
+    def _model(self):
+        var = jnp.array([4.0, 0.25])
+        return DensityModel(lambda x: -0.5 * jnp.sum(x * x / var)), var
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="trajectory_sampling"):
+            HamiltonianMC(0.1, 5, trajectory_sampling="nuts")
+
+    def test_exact_at_coarse_eps(self):
+        """ε near the stability limit: large energy errors — any bias in
+        the windowed construction would surface here."""
+        model, var = self._model()
+        spl = HamiltonianMC(0.8, 6, trajectory_sampling="multinomial")
+        res = sample(model, spl, 1500, key=40, num_chains=1024,
+                     initial_params=jnp.zeros(2), discard_initial=400)
+        x = np.asarray(res.transitions.params)
+        assert np.allclose(x.var(axis=(0, 1)), np.asarray(var), rtol=0.05)
+        assert np.abs(x.mean(axis=(0, 1)) / np.sqrt(np.asarray(var))).max() < 0.05
+
+    def test_moves_more_than_endpoint(self):
+        """Rejection-free trajectory sampling moves at least as often as
+        the endpoint MH accept at the same (ε, L) budget."""
+        model, _ = self._model()
+        kw = dict(key=41, num_chains=512, initial_params=jnp.zeros(2),
+                  discard_initial=300)
+        acc_end = float(np.asarray(sample(
+            model, HamiltonianMC(0.8, 6), 800, **kw
+        ).transitions.accepted).mean())
+        moved = float(np.asarray(sample(
+            model, HamiltonianMC(0.8, 6, trajectory_sampling="multinomial"),
+            800, **kw
+        ).transitions.accepted).mean())
+        assert moved > acc_end - 0.05
+
+    def test_single_chain_and_pytree(self):
+        def logdensity(p):
+            return -0.5 * (jnp.sum(p["a"] ** 2) + (p["b"] - 1.0) ** 2 / 0.25)
+
+        model = DensityModel(logdensity)
+        spl = HamiltonianMC(0.3, 6, trajectory_sampling="multinomial")
+        res = sample(model, spl, 3000, key=42,
+                     initial_params={"a": jnp.zeros(2), "b": jnp.zeros(())},
+                     discard_initial=500)
+        b = np.asarray(res.transitions.params["b"])
+        assert abs(b.mean() - 1.0) < 0.1
+        assert abs(b.std() - 0.5) < 0.1
+
+    def test_fused_engine_rejects_multinomial(self):
+        model, _ = self._model()
+        spl = HamiltonianMC(0.3, 6, trajectory_sampling="multinomial")
+        with pytest.raises(ValueError, match="endpoint-only"):
+            sample(model, spl, 10, key=0, num_chains=1024, engine="fused",
+                   initial_params=jnp.zeros(2))
