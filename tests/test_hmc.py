@@ -266,7 +266,9 @@ class TestAdaptiveHMC:
 class TestMultinomialTrajectory:
     """trajectory_sampling="multinomial": uniform-offset multinomial over
     the whole orbit (Neal windowed / Betancourt within-trajectory sampling).
-    Exact for any ε/L; strictly better use of the same L gradient evals."""
+    Exact for any ε/L; moves when the endpoint accept would reject
+    (robustness — on a well-tuned target the endpoint kernel's antithetic
+    trajectories still win raw ESS; see CLAUDE.md perf notes)."""
 
     def _model(self):
         var = jnp.array([4.0, 0.25])
