@@ -99,3 +99,48 @@ class TestExtractScale:
     def test_static_proposal_rejected(self):
         with pytest.raises(ValueError):
             _extract_rw_scale(StaticMH(Normal(0.0, 1.0)), 1)
+
+
+class TestFusedDispatchGuards:
+    """Error paths of the newest fused launchers — these raise before any
+    kernel compiles, so they are CPU-checkable."""
+
+    def _model(self):
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        return correlated_gaussian_model(np.eye(2, dtype=np.float32))
+
+    def test_adaptive_hmc_pooled_rejected(self):
+        from advancedmh_tpu import AdaptiveHMC, sample
+
+        with pytest.raises(ValueError, match="pooled"):
+            sample(self._model(), AdaptiveHMC(pooled=True), 10, key=0,
+                   num_chains=1024, engine="fused", num_warmup=20,
+                   discard_initial=20, initial_params=jnp.zeros(2))
+
+    def test_adaptive_hmc_schedule_rejected(self):
+        from advancedmh_tpu import AdaptiveHMC, sample
+
+        with pytest.raises(ValueError, match="discard_initial"):
+            sample(self._model(), AdaptiveHMC(), 10, key=0, num_chains=1024,
+                   engine="fused", num_warmup=20, discard_initial=0,
+                   initial_params=jnp.zeros(2))
+
+    def test_adaptive_hmc_resume_rejected(self):
+        from advancedmh_tpu import AdaptiveHMC, sample
+
+        spl = AdaptiveHMC(n_leapfrog=3)
+        res = sample(self._model(), spl, 5, key=0, num_chains=4,
+                     num_warmup=10, discard_initial=10,
+                     initial_params=jnp.zeros(2))
+        with pytest.raises(NotImplementedError, match="AdaptiveHMC"):
+            sample(self._model(), spl, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state)
+
+    def test_hmc_multinomial_rejected(self):
+        from advancedmh_tpu import HamiltonianMC, sample
+
+        spl = HamiltonianMC(0.3, 5, trajectory_sampling="multinomial")
+        with pytest.raises(ValueError, match="endpoint-only"):
+            sample(self._model(), spl, 10, key=0, num_chains=1024,
+                   engine="fused", initial_params=jnp.zeros(2))
