@@ -235,6 +235,59 @@ def bench_ess_per_s_adaptive_hmc(model):
     return float(ess(samples[:, 0, :])) / best
 
 
+def bench_ess_per_s_chees(model):
+    """ESS/s of μ for ChEES-HMC on the XLA batched path: 500 warmup steps
+    tune (T, ε, mass) from cross-chain statistics, then frozen jittered
+    trajectories — near-independent draws at a handful of gradient evals
+    each."""
+    from advancedmh_tpu import ChEESHMC
+    from advancedmh_tpu.diagnostics import ess
+
+    N, W = 1500, 500
+    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
+                   max_leapfrog=16)
+    master = jax.random.key(0)
+
+    @jax.jit
+    def run(seed_key):
+        _, state = jax.vmap(
+            lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
+        )(jax.random.split(seed_key, N_CHAINS))
+
+        def wbody(s, j):
+            _, s = spl.step_warmup_batched(
+                jax.random.fold_in(seed_key, j), s, model, (N_CHAINS,)
+            )
+            return s, None
+
+        state, _ = jax.lax.scan(wbody, state, jnp.arange(W))
+
+        def body(s, j):
+            t, s = spl.step_batched(
+                jax.random.fold_in(seed_key, W + j), s, model, (N_CHAINS,)
+            )
+            return s, t.params[:, 0]
+
+        _, mus = jax.lax.scan(body, state, jnp.arange(N))
+        return mus  # (N, C)
+
+    def go(sk):
+        mus = run(sk)
+        float(mus[-1, 0])  # scalar-read fence
+        return mus
+
+    go(master)
+    best, mus = float("inf"), None
+    for trial in range(3):
+        sk = jax.random.key(1 + trial)
+        t0 = time.perf_counter()
+        out = go(sk)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, mus = dt, out
+    return float(ess(mus)) / best
+
+
 def bench_ess_per_s_adapt_rwmh(model):
     """ESS/s of μ for StepSizeAdaptation-wrapped RWMH on the XLA batched
     path: 1000 dual-averaging warmup steps, then frozen-ε̄ draws."""
@@ -310,6 +363,7 @@ def main():
         ("ess_per_s_mu_ram", bench_ess_per_s_ram),
         ("ess_per_s_mu_adapt_rwmh", bench_ess_per_s_adapt_rwmh),
         ("ess_per_s_mu_adaptive_hmc", bench_ess_per_s_adaptive_hmc),
+        ("ess_per_s_mu_chees", bench_ess_per_s_chees),
     ]:
         try:
             ess_fields[field] = fn(model)
