@@ -122,8 +122,16 @@ class ChEESHMC(Sampler):
             raise ValueError("max_leapfrog must be >= 1")
         if self.learning_rate <= 0.0:
             raise ValueError("learning_rate must be positive")
+        if not 0.0 <= self.adam_b1 < 1.0 or not 0.0 <= self.adam_b2 < 1.0:
+            raise ValueError("adam_b1/adam_b2 must be in [0, 1)")
         if self.gamma <= 0.0:
             raise ValueError("gamma must be positive")
+        if self.t0 < 0.0:
+            raise ValueError("t0 must be non-negative")
+        if not 0.0 < self.kappa <= 1.0:
+            raise ValueError("kappa must be in (0, 1]")
+        if self.mass_regularization < 0.0:
+            raise ValueError("mass_regularization must be non-negative")
 
     # -- shared helpers ----------------------------------------------------
 

@@ -109,6 +109,8 @@ class AdaptiveHMC(Sampler):
             raise ValueError("kappa must be in (0, 1]")
         if self.mass_regularization < 0.0:
             raise ValueError("mass_regularization must be non-negative")
+        if int(self.mass_warm_start) < 0:
+            raise ValueError("mass_warm_start must be non-negative")
 
     # -- helpers -----------------------------------------------------------
 
