@@ -383,6 +383,7 @@ def sample(
         from ..samplers.pcn import PreconditionedCrankNicolson as _PCN
         from ..samplers.hmc import HamiltonianMC as _HMC
         from ..samplers.hmc_adapt import AdaptiveHMC as _AHMC
+        from ..samplers.chees import ChEESHMC as _ChEES
         from ..samplers.mala import MALA as _MALA
         from ..samplers.slice import SliceSampler as _Slice
         from ..samplers.adapt import StepSizeAdaptation as _SSA
@@ -391,6 +392,7 @@ def sample(
         from .fused import (
             sample_fused_adapt_rwmh,
             sample_fused_adaptive_hmc,
+            sample_fused_chees,
             sample_fused,
             sample_fused_am,
             sample_fused_barker,
@@ -441,12 +443,12 @@ def sample(
                 resume_am = initial_state
             elif isinstance(sampler, _RE):
                 resume_re = initial_state
-            elif isinstance(sampler, (_SSA, _AHMC)):
+            elif isinstance(sampler, (_SSA, _AHMC, _ChEES)):
                 raise NotImplementedError(
-                    "engine='fused' StepSizeAdaptation/AdaptiveHMC does not "
-                    "resume from a saved state (the frozen per-chain ε̄/M⁻¹ "
-                    "would reset); use the XLA engine for chunked/resumed "
-                    "runs."
+                    "engine='fused' StepSizeAdaptation/AdaptiveHMC/ChEESHMC "
+                    "does not resume from a saved state (the frozen "
+                    "ε̄/T̄/M⁻¹ would reset); use the XLA engine for "
+                    "chunked/resumed runs."
                 )
             else:
                 initial_params = initial_state.params
@@ -544,6 +546,15 @@ def sample(
             transitions, final_state = sample_fused_slice(
                 model, sampler, n_samples, key=fkey, num_chains=num_chains,
                 initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _ChEES):
+            transitions, final_state = sample_fused_chees(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                num_warmup=schedule.num_warmup,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
                 **mesh_kw,

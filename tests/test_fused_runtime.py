@@ -144,3 +144,60 @@ class TestFusedDispatchGuards:
         with pytest.raises(ValueError, match="endpoint-only"):
             sample(self._model(), spl, 10, key=0, num_chains=1024,
                    engine="fused", initial_params=jnp.zeros(2))
+
+
+class TestFusedChEESPlumbing:
+    """CPU-checkable parts of the fused ChEES engine: the static Halton
+    trip schedule and the dispatch/resume guards (runtime/fused.py::
+    sample_fused_chees)."""
+
+    def _model(self):
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        return correlated_gaussian_model(np.eye(2, dtype=np.float32))
+
+    def test_halton_trips_static_schedule(self):
+        from advancedmh_tpu.ops.pallas_chees import halton_trips, vdc
+
+        # van der Corput base-2: 1/2, 1/4, 3/4, 1/8, 5/8, ...
+        assert [vdc(i) for i in range(1, 6)] == [
+            0.5, 0.25, 0.75, 0.125, 0.625
+        ]
+        trips = halton_trips(8, 16, max_leapfrog=16)
+        assert len(trips) == 16
+        assert all(isinstance(t, int) and 1 <= t <= 8 for t in trips)
+        # low-discrepancy spread: the schedule covers short and long
+        # trajectories, mean ≈ ratio/2
+        assert min(trips) <= 2 and max(trips) >= 6
+        assert 3 <= sum(trips) / len(trips) <= 6
+        # clip floor: ratio 1 → all-ones schedule, never zero trips
+        assert halton_trips(1, 4, 16) == (1, 1, 1, 1)
+        # max_leapfrog caps the schedule even if ratio exceeds it
+        assert max(halton_trips(32, 8, 4)) <= 4
+
+    def test_chees_schedule_rejected(self):
+        from advancedmh_tpu import ChEESHMC, sample
+
+        with pytest.raises(ValueError, match="discard_initial"):
+            sample(self._model(), ChEESHMC(), 10, key=0, num_chains=1024,
+                   engine="fused", num_warmup=20, discard_initial=0,
+                   initial_params=jnp.zeros(2))
+
+    def test_chees_no_warmup_rejected(self):
+        from advancedmh_tpu import ChEESHMC, sample
+
+        with pytest.raises(ValueError, match="num_warmup"):
+            sample(self._model(), ChEESHMC(), 10, key=0, num_chains=1024,
+                   engine="fused", num_warmup=0, discard_initial=0,
+                   initial_params=jnp.zeros(2))
+
+    def test_chees_resume_rejected(self):
+        from advancedmh_tpu import ChEESHMC, sample
+
+        spl = ChEESHMC(max_leapfrog=4)
+        res = sample(self._model(), spl, 5, key=0, num_chains=4,
+                     num_warmup=10, discard_initial=10,
+                     initial_params=jnp.zeros(2))
+        with pytest.raises(NotImplementedError, match="ChEESHMC"):
+            sample(self._model(), spl, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state)
