@@ -78,6 +78,7 @@ from .samplers import (
     SliceSampler,
     DifferentialEvolution,
     StepSizeAdaptation,
+    optimal_rwmh_accept,
     Transition,
     GradientTransition,
     getparams,
@@ -89,6 +90,7 @@ from .runtime import (
     power_ladder,
     sample,
     sample_chunked,
+    ChunkInfo,
     Schedule,
     SamplingResult,
     MCMCSerial,
@@ -126,11 +128,11 @@ __all__ = [
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker", "HamiltonianMC",
     "AdaptiveHMC", "AdaptiveHMCState", "ChEESHMC", "ChEESHMCState",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
-    "DifferentialEvolution", "StepSizeAdaptation",
+    "DifferentialEvolution", "StepSizeAdaptation", "optimal_rwmh_accept",
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
-    "sample", "sample_chunked", "log_evidence", "log_evidence_ais", "power_ladder", "Schedule", "SamplingResult",
+    "sample", "sample_chunked", "ChunkInfo", "log_evidence", "log_evidence_ais", "power_ladder", "Schedule", "SamplingResult",
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics

@@ -24,7 +24,8 @@ from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
 from .demc import DifferentialEvolution
-from .adapt import StepSizeAdaptation, StepSizeAdaptationState
+from .adapt import (StepSizeAdaptation, StepSizeAdaptationState,
+                    optimal_rwmh_accept)
 
 __all__ = [
     "Sampler",
@@ -64,4 +65,5 @@ __all__ = [
     "DifferentialEvolution",
     "StepSizeAdaptation",
     "StepSizeAdaptationState",
+    "optimal_rwmh_accept",
 ]

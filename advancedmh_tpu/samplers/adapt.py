@@ -43,6 +43,23 @@ from ..utils import KeyArray, pytree_dataclass, replace
 from .base import Sampler
 
 
+# Finite-dimension optimal RWMH acceptance rates for product-form targets
+# (Gelman, Roberts & Gilks 1996, "Efficient Metropolis jumping rules",
+# Table 1 simulation optima); 0.234 is the d→∞ diffusion limit of
+# Roberts, Gelman & Gilks 1997 — the reference's RAM default lineage
+# (≙ src/RobustAdaptiveMetropolis.jl:77).
+_GRG_OPTIMAL_ACCEPT = {
+    1: 0.441, 2: 0.352, 3: 0.316, 4: 0.285, 5: 0.275,
+    6: 0.273, 7: 0.270, 8: 0.267, 9: 0.262, 10: 0.261,
+}
+
+
+def optimal_rwmh_accept(d: int) -> float:
+    """Dimension-aware optimal RWMH acceptance target (GRG96 for d ≤ 10,
+    the 0.234 asymptote beyond)."""
+    return _GRG_OPTIMAL_ACCEPT.get(int(d), 0.234)
+
+
 @pytree_dataclass
 class StepSizeAdaptationState:
     """Inner sampler state + Nesterov dual-averaging statistics."""
@@ -224,13 +241,26 @@ class StepSizeAdaptation(Sampler):
 
     @staticmethod
     def rwmh(
-        d: int, target_accept: float = 0.234, initial_step_size: float = 1.0, **kw
+        d: int,
+        target_accept="auto",
+        initial_step_size: float = 1.0,
+        **kw,
     ) -> "StepSizeAdaptation":
-        """Isotropic random-walk family ``RWMH(MvNormal(0, ε·I))`` tuned to the
-        Roberts-Gelman-Gilks optimum 0.234."""
+        """Isotropic random-walk family ``RWMH(MvNormal(0, ε·I))`` tuned to
+        the dimension-aware Gelman-Roberts-Gilks optimum.
+
+        ``target_accept="auto"`` (default) resolves via
+        :func:`optimal_rwmh_accept`: the 0.234 rule is the d→∞ asymptote
+        (Roberts-Gelman-Gilks 1997) — at small d the finite-dimension optima
+        are markedly higher (0.44 at d=1, 0.35 at d=2; GRG 1996 Table 1),
+        and targeting 0.234 there costs real ESS/s (measured on the README
+        2-param Gaussian: the swept optimum sits at acceptance ≈ 0.30-0.35).
+        Pass a float to pin the target explicitly."""
         from ..distributions import MvNormal
         from .mh import RWMH
 
+        if target_accept == "auto":
+            target_accept = optimal_rwmh_accept(d)
         zeros = jnp.zeros(int(d), jnp.float32)
         spl = StepSizeAdaptation(
             lambda eps: RWMH(MvNormal(zeros, scale=eps)),

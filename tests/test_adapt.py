@@ -43,7 +43,8 @@ class TestValidation:
 class TestRWMHFamily:
     def test_acceptance_hits_target(self):
         """Start 100x too large: warmup must pull the post-warmup acceptance
-        rate to the 0.234 optimum (a fixed ε=10 run accepts ≈ nothing)."""
+        rate to the dimension-aware GRG optimum (0.352 at d=2; a fixed
+        ε=10 run accepts ≈ nothing)."""
         model, _ = _quadratic_model()
         spl = StepSizeAdaptation.rwmh(2, initial_step_size=10.0)
         res = sample(
@@ -51,7 +52,7 @@ class TestRWMHFamily:
             initial_params=jnp.zeros(2), chain_type="raw",
         )
         acc = float(jnp.mean(res.transitions.accepted.astype(jnp.float32)))
-        assert abs(acc - 0.234) < 0.08
+        assert abs(acc - spl.target_accept) < 0.08
 
         fixed = sample(
             model, RWMH(MvNormal(jnp.zeros(2), scale=10.0)), 3000, key=0,
@@ -169,7 +170,7 @@ class TestBatchedKernel:
         ref = sample(model, spl, 3000, vectorized=False, **kw)
         for r in (vec, ref):
             acc = float(jnp.mean(r.transitions.accepted.astype(jnp.float32)))
-            assert abs(acc - 0.234) < 0.08
+            assert abs(acc - spl.target_accept) < 0.08
         eps_v = np.exp(np.asarray(vec.final_state.log_eps_bar))
         eps_r = np.exp(np.asarray(ref.final_state.log_eps_bar))
         # Each chain adapts its own eps in both paths; the adapted
