@@ -8,7 +8,7 @@ from .sample import (
     MCMCDistributed,
 )
 from .checkpoint import save_state, load_state
-from .chunked import sample_chunked
+from .chunked import ChunkInfo, sample_chunked
 from .evidence import log_evidence, log_evidence_ais, power_ladder
 
 __all__ = [
@@ -25,4 +25,5 @@ __all__ = [
     "save_state",
     "load_state",
     "sample_chunked",
+    "ChunkInfo",
 ]

@@ -39,6 +39,34 @@ from .schedule import Schedule
 # mid-write never leaves a corrupt file for resume to load.
 
 
+class ChunkInfo(int):
+    """Chunk index enriched with the chunk's schedule context.
+
+    Passed as the callback's second argument. It *is* the integer chunk
+    index (an ``int`` subclass), so existing ``callback(chunk_result, idx)``
+    code keeps working unchanged; richer callbacks additionally read
+
+    - ``info.iteration_range`` — the absolute sampler-iteration labels of
+      the chunk's emitted draws (a ``range`` with the thinning stride;
+      ≙ the reference callback's ``iteration`` argument,
+      test/RobustAdaptiveMetropolis.jl:46-56), and
+    - ``info.final_state`` — the full sampler state after the chunk (≙ the
+      reference callback's ``state`` argument), so adaptation dynamics are
+      observable through the public ``sample(callback=...)`` without
+      ``collect_states``. ``chunk_size=1`` makes both exactly
+      per-iteration.
+    """
+
+    iteration_range: range
+    final_state: Any
+
+    def __new__(cls, idx: int, iteration_range: range, final_state: Any):
+        self = super().__new__(cls, idx)
+        self.iteration_range = iteration_range
+        self.final_state = final_state
+        return self
+
+
 def sample_chunked(
     model,
     sampler,
@@ -68,7 +96,10 @@ def sample_chunked(
 
     Returns a :class:`SamplingResult` whose transition leaves are host numpy
     arrays (``to_host=True``) concatenated over all chunks. ``callback`` runs
-    after each chunk with (chunk_result, chunk_index).
+    after each chunk with ``(chunk_result, info)`` where ``info`` is a
+    :class:`ChunkInfo` — the integer chunk index enriched with
+    ``iteration_range`` and ``final_state`` (≙ the reference callback's
+    ``(state, iteration)`` arguments).
 
     **Elastic recovery** (SURVEY.md §5 'failure detection'): with
     ``checkpoint_dir``, each completed chunk writes its transitions
@@ -206,7 +237,7 @@ def sample_chunked(
         Runs after the *next* chunk has been dispatched, so the device
         computes chunk k+1 while chunk k crosses to host (the async-dispatch
         double buffer the module docstring promises)."""
-        res, idx, done_after, offset_after = rec
+        res, idx, done_after, offset_after, n_chunk = rec
         host = _to_host(res)
         chunks.append(host)
         _stream_to_store(host)
@@ -243,7 +274,12 @@ def sample_chunked(
             if idx > 0 and os.path.exists(prev_state):
                 os.remove(prev_state)  # superseded by the meta commit above
         if callback is not None:
-            callback(host, idx)
+            callback(host, ChunkInfo(
+                idx,
+                range(offset_after - (n_chunk - 1) * th, offset_after + 1,
+                      th),
+                res.final_state,
+            ))
         if progress:
             rate = done_after / max(time.perf_counter() - t0, 1e-9)
             print(
@@ -282,7 +318,7 @@ def sample_chunked(
         done += n_chunk
         if pending is not None:
             _finalize(pending)  # chunk k to host while chunk k+1 computes
-        pending = (res, chunk_idx, done, offset)
+        pending = (res, chunk_idx, done, offset, n_chunk)
         chunk_idx += 1
     if pending is not None:
         _finalize(pending)

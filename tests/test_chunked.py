@@ -207,6 +207,60 @@ class TestSampleCallbackProgress:
             np.asarray(tail.transitions.lp),
         )
 
+    def test_chunk_info_state_and_iteration_range(self):
+        """The callback's second argument is a ChunkInfo: still the integer
+        chunk index (back-compat), plus the chunk's absolute iteration
+        range and the full sampler state — the reference callback's
+        ``(state, iteration)`` arguments (test/RobustAdaptiveMetropolis.jl:
+        46-56) without ``collect_states``."""
+        from advancedmh_tpu import ChunkInfo
+
+        spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
+        infos = []
+        res = sample(
+            MODEL, spl, 9, key=3, num_chains=2, discard_initial=4,
+            thinning=2, chunk_size=4, initial_params=jnp.asarray([0.0, 1.0]),
+            callback=lambda r, i: infos.append(i),
+        )
+        assert [int(i) for i in infos] == [0, 1, 2]
+        assert all(isinstance(i, ChunkInfo) for i in infos)
+        # sample 1 = state after discard_initial steps, stride = thinning:
+        # absolute iterations 4, 6, 8, ... (runtime/schedule.py contract).
+        assert [list(i.iteration_range) for i in infos] == [
+            [4, 6, 8, 10], [12, 14, 16, 18], [20]
+        ]
+        # final_state of the last chunk is the run's final state.
+        np.testing.assert_array_equal(
+            np.asarray(infos[-1].final_state.params),
+            np.asarray(res.final_state.params),
+        )
+
+    def test_ram_adaptation_dynamics_without_collect_states(self):
+        """≙ the reference StatesExtractor test (test/
+        RobustAdaptiveMetropolis.jl:11-71) through ``info.final_state``
+        alone: chunk_size=1 observes every adapted S at per-iteration
+        cadence with no collect_states, eigenvalues respect the bound and
+        the adaptation drives them onto it."""
+        upper = 1.5
+        model = DensityModel(lambda x: -0.125 * jnp.sum(x * x), dimension=2)
+        spl = RobustAdaptiveMetropolis(eigenvalue_upper_bound=upper)
+        diags = []
+
+        def extract(r, info):
+            diags.append(
+                np.diagonal(np.asarray(info.final_state.S), axis1=-2, axis2=-1)
+            )
+
+        sample(
+            model, spl, 150, key=7, num_chains=2, num_warmup=150,
+            discard_initial=0, initial_params=jnp.zeros(2),
+            callback=extract, chunk_size=1,
+        )
+        diag = np.stack(diags, axis=1)  # (chains, steps, d)
+        assert diag.shape[1] == 150
+        assert diag.max() <= upper + 1e-6  # clamp holds everywhere
+        assert diag.max() > 0.8 * upper  # and the bound is actually active
+
     def test_ram_adaptation_dynamics_via_callback(self):
         """≙ the reference StatesExtractor test
         (test/RobustAdaptiveMetropolis.jl:11-71): a callback observes every
