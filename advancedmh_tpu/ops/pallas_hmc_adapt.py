@@ -200,6 +200,14 @@ def fused_adaptive_hmc_sample(
     (n_samples, d, C), lps (n_samples, 1, C), accepted (n_samples, 1, C),
     eps_final (1, C), minv_final (d, C))``. ``warmup`` adaptation steps run
     first and are discarded (the HG14 contract).
+
+    Schedule note: sample 1 is the state after ``warmup + thin`` steps
+    (warmup, then a thinning sweep before the first emission), whereas the
+    XLA engine and ``fused_hmc_sample`` (via ``burn = max(discard_initial
+    - thinning, 0)``) emit sample 1 after ``discard_initial`` steps — a
+    deliberate one-draw offset shared with ``fused_adapt_rwmh_sample``.
+    Statistically immaterial (both draw from the frozen-(ε̄, M⁻¹) chain's
+    stationary regime); don't chase it as a bit-compat bug.
     """
     if mu is None:
         mu = math.log(10.0 * initial_step_size)
