@@ -95,6 +95,92 @@ def correlated_gaussian_model(cov) -> DensityModel:
     return model
 
 
+def neal_funnel_model(d: int = 10) -> DensityModel:
+    """Neal's funnel (Neal 2003 §8): v ~ N(0, 3²), x_i | v ~ N(0, eᵛ) for
+    i = 1..d−1 — the canonical varying-curvature stress test for adaptive
+    samplers (beyond-parity validation: the reference's test geometry is
+    Gaussian-only, test/runtests.jl:22-31).
+
+    θ = (v, x_1..x_{d−1});  log π = −v²/18 − (d−1)v/2 − e^{−v}·Σx²/2 + C.
+    Exact marginal ground truth: v ~ N(0, 9), so the neck mass
+    P(v < −c) = Φ(−c/3) — samplers that cannot shrink their step into the
+    neck (fixed-ε HMC) underestimate it by orders of magnitude.
+    """
+    dm1 = d - 1
+    const = float(
+        -0.5 * math.log(2.0 * math.pi * 9.0) - dm1 * _HALF_LOG_2PI
+    )
+
+    def logdensity(theta):
+        v, x = theta[0], theta[1:]
+        return (
+            -v * v / 18.0
+            - 0.5 * dm1 * v
+            - 0.5 * jnp.exp(-v) * jnp.sum(x * x)
+            + const
+        )
+
+    def ldg(theta):
+        v, x = theta[0], theta[1:]
+        e = jnp.exp(-v)
+        sq = jnp.sum(x * x)
+        lp = -v * v / 18.0 - 0.5 * dm1 * v - 0.5 * e * sq + const
+        gv = -v / 9.0 - 0.5 * dm1 + 0.5 * e * sq
+        gx = -e * x
+        return lp, jnp.concatenate([gv[None], gx])
+
+    def tile_density(t):
+        """Pallas tile form: t (d, TC)."""
+        v = t[0:1]
+        sq = jnp.sum(t[1:] * t[1:], axis=0, keepdims=True)
+        return -v * v / 18.0 - 0.5 * dm1 * v - 0.5 * jnp.exp(-v) * sq + const
+
+    model = DensityModel(
+        logdensity, logdensity_and_gradient_fn=ldg, dimension=d
+    )
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(model, "tile_consts", ())
+    return model
+
+
+def banana_model(b: float = 0.03, sigma1: float = 10.0) -> DensityModel:
+    """Haario banana (Haario-Saksman-Tamminen 1999 twisted Gaussian):
+    y₁ ~ N(0, σ₁²), y₂ ~ N(0, 1) pushed through the *twist*
+    x = (y₁, y₂ − b·y₁² + b·σ₁²) — a curved, banana-shaped ridge
+    (beyond-parity validation target; Gaussian-only reference geometry).
+
+    The twist is volume-preserving, so exact ground truth comes from
+    transformed N(0, diag(σ₁², 1)) draws: E[x] = 0, Var[x₁] = σ₁²,
+    Var[x₂] = 1 + 2b²σ₁⁴ (= 19 at the Haario defaults b=0.03, σ₁=10).
+    """
+    b = float(b)
+    s1_sq = float(sigma1) ** 2
+    const = float(-0.5 * math.log(2.0 * math.pi * s1_sq) - _HALF_LOG_2PI)
+
+    def logdensity(x):
+        y2 = x[1] + b * x[0] * x[0] - b * s1_sq
+        return -0.5 * x[0] * x[0] / s1_sq - 0.5 * y2 * y2 + const
+
+    def ldg(x):
+        y2 = x[1] + b * x[0] * x[0] - b * s1_sq
+        lp = -0.5 * x[0] * x[0] / s1_sq - 0.5 * y2 * y2 + const
+        g0 = -x[0] / s1_sq - y2 * 2.0 * b * x[0]
+        return lp, jnp.stack([g0, -y2])
+
+    def tile_density(x):
+        """Pallas tile form: x (2, TC)."""
+        x1, x2 = x[0:1], x[1:2]
+        y2 = x2 + b * x1 * x1 - b * s1_sq
+        return -0.5 * x1 * x1 / s1_sq - 0.5 * y2 * y2 + const
+
+    model = DensityModel(
+        logdensity, logdensity_and_gradient_fn=ldg, dimension=2
+    )
+    object.__setattr__(model, "tile_density", tile_density)
+    object.__setattr__(model, "tile_consts", ())
+    return model
+
+
 def logistic_regression_model(
     n_obs: int = 256,
     dim: int = 32,

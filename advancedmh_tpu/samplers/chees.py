@@ -398,9 +398,24 @@ class ChEESHMC(Sampler):
                 x1c, vel,
             )
         )
-        num = jnp.sum(w * delta * dot)
+        # Divergence robustness: a diverged trajectory carries lp = −inf →
+        # w = 0 but delta/dot = ±inf, and 0·inf = nan would poison Adam's
+        # moments (observed on Neal's funnel: T̄ → nan). Zero those
+        # contributions explicitly — a rejected divergence carries no
+        # trajectory-length signal.
+        contrib = w * delta * dot
+        # f32 overflow hygiene for heavy-curvature targets (Neal's funnel):
+        # near-divergent excursions reach |x| ~ 1e15, so per-chain
+        # contributions hit ±inf (→ zeroed) and even *finite* ones reach
+        # ~1e37, whose running sum can overflow to ±inf and then nan
+        # (+inf − inf) — clamp elements so the batch sum stays finite.
+        # Adam's update size is scale-invariant (≤ learning_rate for any
+        # finite g), so neither clamp distorts the adapted T trajectory.
+        contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+        contrib = jnp.clip(contrib, -1e30, 1e30)
+        num = jnp.sum(contrib)
         den = jnp.maximum(jnp.sum(w), 1e-6)
-        return traj_len * num / den
+        return jnp.clip(traj_len * num / den, -1e6, 1e6)
 
     def step_warmup_batched(
         self, key: KeyArray, state: ChEESHMCState, model, batch_shape
@@ -413,7 +428,16 @@ class ChEESHMC(Sampler):
         )
         t_inner = self._select_inner(state, x1, lp1, grad1, accepted, bn)
 
-        w = jnp.exp(jnp.minimum(logalpha, 0.0))  # accept probabilities
+        # Accept probabilities. A divergent trajectory can carry logα = nan
+        # (e.g. Neal's funnel: e^{−v} overflows while Σx² underflows, so
+        # lp = −inf·0): the MH accept already treats nan as reject (IEEE
+        # comparison is false), but nan would poison the *pooled statistics*
+        # — treat any non-finite logα as acceptance probability 0.
+        w = jnp.where(
+            jnp.isfinite(logalpha),
+            jnp.exp(jnp.minimum(logalpha, 0.0)),
+            0.0,
+        )
         # ε: dual averaging on the cross-chain mean acceptance probability.
         log_eps, log_eps_bar, h_bar = self._dual_avg_eps(state, jnp.mean(w))
         # T: Adam ascent on the ChEES gradient.
@@ -487,7 +511,13 @@ class ChEESHMC(Sampler):
         t_inner = GradientTransition(params, lp, gradient, accepted)
         if not adapt:
             return t_inner, replace(state, inner=t_inner)
-        w = jnp.exp(jnp.minimum(logalpha, 0.0))
+        # Non-finite logα (divergence) contributes acceptance 0, never nan
+        # (see step_warmup_batched).
+        w = jnp.where(
+            jnp.isfinite(logalpha),
+            jnp.exp(jnp.minimum(logalpha, 0.0)),
+            0.0,
+        )
         log_eps, log_eps_bar, h_bar = self._dual_avg_eps(state, w)
         mean, m2, n = self._welford_single(
             state.mean, state.m2, state.n, params
