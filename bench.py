@@ -14,6 +14,30 @@ this model (~1 µs/step for a 30-obs Normal log-likelihood + proposal draw +
 accept on modern x86; the reference runs one chain per process). The TPU
 design's win is the chain batch: value/baseline ≈ how many reference
 processes one chip replaces.
+
+## ESS/s companion fields — one shared harness convention
+
+Every ``ess_per_s_mu*`` field is measured by the SAME protocol (no more
+per-sampler warmup accounting): 16384 chains on the README 2-param Gaussian
+model, ``N_WARM = 500`` adaptation/burn-in steps followed by ``N_DRAWS =
+4000`` emitted draws, rank-normalized ESS of μ, best-of-3 fence-timed trials
+(single-shot tunnel timings occasionally read 2x low).
+
+Two numbers per sampler:
+
+- ``ess_per_s_mu_<s>`` — **steady-state** ESS/s: ESS of the N draws over
+  the *sampling-phase* time only (the Stan/published-benchmark convention).
+  For single-launch fused engines the sampling time is measured as
+  ``t(full launch) − t(warmup-probe launch)`` — the probe runs the same
+  warmup plus a minimal emission block, so the subtraction cancels both the
+  adaptation steps and the fixed launch overhead. For the two-stage fused
+  ChEES engine the stages are timed directly.
+- ``ess_per_s_mu_<s>_amortized`` — ESS over the FULL timed pipeline
+  (adaptation + sampling): what one complete cold run of this size buys.
+
+The adaptive samplers (`adapt_rwmh`, `adaptive_hmc`, `chees`, `ram`) run
+with zero hand tuning; `mu` (RWMH at the hand-swept 0.35 scale) and `mala`
+are the manually-tuned yardsticks.
 """
 import json
 import sys
@@ -27,6 +51,11 @@ import numpy as np
 REFERENCE_SEQ_THROUGHPUT = 1.0e6  # chain-steps/s, documented estimate (above)
 N_CHAINS = 16384
 N_STEPS = 10_000
+
+# Shared ESS-harness convention (module docstring).
+N_DRAWS = 4000
+N_WARM = 500
+PROBE_DRAWS = 16  # minimal emission block for the warmup-probe launch
 
 
 def bench_pallas(model):
@@ -94,212 +123,156 @@ def bench_xla(model):
     return N_CHAINS * N_STEPS / best, "xla-scan"
 
 
-def bench_ess_per_s(model):
-    """ESS/s of μ on the same model via the fused sampling engine (the
-    BASELINE.json companion metric)."""
+# ---------------------------------------------------------------------------
+# Shared ESS harness
+
+
+def _timed_best(fn, n_trials=3):
+    """Best-of-n (dt, output) — keep ESS and time from the same trial."""
+    best, out = float("inf"), None
+    for trial in range(n_trials):
+        t0 = time.perf_counter()
+        o = fn(1 + trial)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, out = dt, o
+    return best, out
+
+
+def _ess_single_launch(build, args, acc_band=(0.05, 0.98)):
+    """Harness for single-launch fused engines.
+
+    ``build(n_samples, warm)`` returns ``run(*args, seed) -> (samples, ...,
+    accepted, ...)``. Times a full launch (N_WARM + N_DRAWS) and a
+    warmup-probe launch (N_WARM + PROBE_DRAWS); their difference is the
+    sampling-phase time with launch overhead cancelled (module docstring).
+    Returns (steady, amortized) ESS/s of μ.
+    """
     from advancedmh_tpu.diagnostics import ess
+
+    run_full = build(N_DRAWS, N_WARM)
+    run_probe = build(PROBE_DRAWS, N_WARM)
+
+    def go(run):
+        def f(seed):
+            out = run(*args, seed)
+            float(out[0][-1, 0, 0])  # scalar-read fence
+            return out
+
+        return f
+
+    go_full, go_probe = go(run_full), go(run_probe)
+    go_full(0)
+    go_probe(0)  # compiles
+    t_full, out = _timed_best(go_full)
+    t_probe, _ = _timed_best(go_probe)
+    samples, accs = out[0], out[2]
+    acc = float(accs.mean())
+    assert acc_band[0] < acc < acc_band[1], f"degenerate acceptance {acc}"
+    mu_ess = float(ess(samples[:, 0, :]))
+    # Floor the subtraction at 25% of t_full so a noisy probe can never
+    # manufacture an absurd steady-state number.
+    t_sampling = max(t_full - t_probe, 0.25 * t_full)
+    return mu_ess / t_sampling, mu_ess / t_full
+
+
+def _readme_inputs(model):
+    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
+    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(params, *consts)
+    return params, consts, lp0
+
+
+def bench_ess_per_s(model):
+    """Hand-tuned RWMH yardstick: scale 0.35 ≈ the Roberts-Rosenthal optimum
+    2.38/√d × posterior std (measured sweep optimum; acc ≈ 0.30)."""
     from advancedmh_tpu.ops import fused_rwmh_sample
 
-    N = 4000
-    # scale 0.35 ≈ the Roberts-Rosenthal optimum 2.38/√d × posterior std
-    # (~0.18 for μ here): measured sweep peaks there (acc ≈ 0.30,
-    # 1.4e8 ESS/s vs 4.8e7 at scale=0.1).
-    run = fused_rwmh_sample(
-        model.tile_density, d=2, scale=0.35, n_samples=N, burn=1000, thin=1,
+    params, _, lp0 = _readme_inputs(model)
+    build = lambda n, w: fused_rwmh_sample(
+        model.tile_density, d=2, scale=0.35, n_samples=n, burn=w, thin=1,
         consts=model.tile_consts,
     )
-    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
-    lp0 = model.tile_density(params, jnp.asarray(model.tile_consts[0]))
-
-    def go(seed):
-        samples, _, _ = run(params, lp0, seed)
-        float(samples[-1, 0, 0])  # scalar-read fence (see bench_pallas)
-        return samples
-
-    go(0)
-    best, samples = float("inf"), None
-    for trial in range(3):  # early post-compile calls can be tunnel-slow
-        t0 = time.perf_counter()
-        out = go(1 + trial)
-        dt = time.perf_counter() - t0
-        if dt < best:  # keep ESS and time from the same trial
-            best, samples = dt, out
-    mu_ess = float(ess(samples[:, 0, :]))  # (N, C)
-    return mu_ess / best
+    return _ess_single_launch(build, (params, lp0))
 
 
 def bench_ess_per_s_mala(model):
-    """ESS/s of μ via the fused MALA engine — gradients point the chains at
-    the mode, so fewer steps buy more ESS despite the pricier step."""
-    from advancedmh_tpu.diagnostics import ess
+    """Hand-tuned MALA yardstick: eps ≈ posterior std × d^{-1/6} regime →
+    s2 = eps² ≈ 0.02, realized acceptance ≈ 0.5-0.7."""
     from advancedmh_tpu.ops.pallas_mala import fused_mala_sample
 
-    N = 4000
-    # eps ≈ posterior std (~0.18 for μ) × the Roberts-Rosenthal d^{-1/6}
-    # regime → s2 = eps² ≈ 0.02; realized acceptance ≈ 0.5-0.7.
-    run = fused_mala_sample(
-        model.tile_density, d=2, step_size_sq=0.02, n_samples=N, burn=1000,
+    params, consts, lp0 = _readme_inputs(model)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+    build = lambda n, w: fused_mala_sample(
+        model.tile_density, d=2, step_size_sq=0.02, n_samples=n, burn=w,
         thin=1, consts=model.tile_consts, tile_chains=2048,
     )
-    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
-    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
-    lp0 = model.tile_density(params, *consts)
-    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
-
-    def go(seed):
-        samples, _, accs = run(params, lp0, g0, seed)
-        float(samples[-1, 0, 0])  # scalar-read fence
-        return samples, accs
-
-    go(0)
-    best, samples = float("inf"), None
-    for trial in range(3):
-        t0 = time.perf_counter()
-        out, accs = go(1 + trial)
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, samples = dt, out
-    acc = float(accs.mean())
-    assert 0.1 < acc < 0.98, f"degenerate MALA acceptance {acc}"
-    return float(ess(samples[:, 0, :])) / best
+    return _ess_single_launch(build, (params, lp0, g0), acc_band=(0.1, 0.98))
 
 
 def bench_ess_per_s_ram(model):
-    """ESS/s of μ via the fused RAM engine: 1000 adaptive warmup steps find
-    the posterior's scale/shape, then frozen-S draws — no hand tuning."""
-    from advancedmh_tpu.diagnostics import ess
+    """No-knobs RAM: warmup adapts the full Cholesky shape, then frozen-S."""
     from advancedmh_tpu.ops import fused_ram_sample
 
-    N = 4000
-    run = fused_ram_sample(
-        model.tile_density, d=2, n_samples=N, warmup=1000,
-        consts=model.tile_consts, tile_chains=1024,
-    )
-    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
-    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
-    lp0 = model.tile_density(params, *consts)
+    params, _, lp0 = _readme_inputs(model)
     S0 = jnp.broadcast_to(
         jnp.eye(2, dtype=jnp.float32).reshape(4, 1), (4, N_CHAINS)
     )
-
-    def go(seed):
-        samples, _, accs, _S = run(params, lp0, S0, seed)
-        float(samples[-1, 0, 0])  # scalar-read fence
-        return samples, accs
-
-    go(0)
-    best, samples = float("inf"), None
-    for trial in range(3):
-        t0 = time.perf_counter()
-        out, accs = go(1 + trial)
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, samples = dt, out
-    acc = float(accs.mean())
-    assert 0.05 < acc < 0.95, f"degenerate RAM acceptance {acc}"
-    return float(ess(samples[:, 0, :])) / best
-
-
-def bench_ess_per_s_adaptive_hmc(model):
-    """ESS/s of μ via the fused AdaptiveHMC engine: 500 joint (ε, mass)
-    warmup steps, then frozen trajectories — HMC's decorrelated draws buy
-    ESS/draw near 1 at L gradient evals per draw."""
-    from advancedmh_tpu.diagnostics import ess
-    from advancedmh_tpu.ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
-
-    N, W, L = 2000, 500, 8
-    run = fused_adaptive_hmc_sample(
-        model.tile_density, d=2, n_samples=N, warmup=W, n_leapfrog=L,
-        initial_step_size=0.05, consts=model.tile_consts, tile_chains=1024,
+    build = lambda n, w: fused_ram_sample(
+        model.tile_density, d=2, n_samples=n, warmup=w,
+        consts=model.tile_consts, tile_chains=1024,
     )
-    params = jnp.tile(jnp.asarray([[0.0], [1.0]], jnp.float32), (1, N_CHAINS))
-    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
-    lp0 = model.tile_density(params, *consts)
-    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
-
-    def go(seed):
-        samples, _, accs, _eps, _minv = run(params, lp0, g0, seed)
-        float(samples[-1, 0, 0])  # scalar-read fence
-        return samples, accs
-
-    go(0)
-    best, samples = float("inf"), None
-    for trial in range(3):
-        t0 = time.perf_counter()
-        out, accs = go(1 + trial)
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, samples = dt, out
-    acc = float(accs.mean())
-    assert 0.1 < acc < 0.99, f"degenerate AdaptiveHMC acceptance {acc}"
-    return float(ess(samples[:, 0, :])) / best
-
-
-def bench_ess_per_s_chees(model):
-    """ESS/s of μ for ChEES-HMC on the XLA batched path: 500 warmup steps
-    tune (T, ε, mass) from cross-chain statistics, then frozen jittered
-    trajectories — near-independent draws at a handful of gradient evals
-    each."""
-    from advancedmh_tpu import ChEESHMC
-    from advancedmh_tpu.diagnostics import ess
-
-    N, W = 1500, 500
-    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
-                   max_leapfrog=16)
-    master = jax.random.key(0)
-
-    @jax.jit
-    def run(seed_key):
-        _, state = jax.vmap(
-            lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
-        )(jax.random.split(seed_key, N_CHAINS))
-
-        def wbody(s, j):
-            _, s = spl.step_warmup_batched(
-                jax.random.fold_in(seed_key, j), s, model, (N_CHAINS,)
-            )
-            return s, None
-
-        state, _ = jax.lax.scan(wbody, state, jnp.arange(W))
-
-        def body(s, j):
-            t, s = spl.step_batched(
-                jax.random.fold_in(seed_key, W + j), s, model, (N_CHAINS,)
-            )
-            return s, t.params[:, 0]
-
-        _, mus = jax.lax.scan(body, state, jnp.arange(N))
-        return mus  # (N, C)
-
-    def go(sk):
-        mus = run(sk)
-        float(mus[-1, 0])  # scalar-read fence
-        return mus
-
-    go(master)
-    best, mus = float("inf"), None
-    for trial in range(3):
-        sk = jax.random.key(1 + trial)
-        t0 = time.perf_counter()
-        out = go(sk)
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, mus = dt, out
-    return float(ess(mus)) / best
+    return _ess_single_launch(build, (params, lp0, S0))
 
 
 def bench_ess_per_s_adapt_rwmh(model):
-    """ESS/s of μ for StepSizeAdaptation-wrapped RWMH on the XLA batched
-    path: 1000 dual-averaging warmup steps, then frozen-ε̄ draws."""
-    from advancedmh_tpu import StepSizeAdaptation
-    from advancedmh_tpu.diagnostics import ess
+    """No-knobs dual-averaged RWMH on the FUSED engine, targeting the
+    dimension-aware GRG optimum (0.352 at d=2, optimal_rwmh_accept)."""
+    from advancedmh_tpu.ops.pallas_adapt import fused_adapt_rwmh_sample
+    from advancedmh_tpu.samplers.adapt import optimal_rwmh_accept
 
-    N, W = 4000, 1000
-    spl = StepSizeAdaptation.rwmh(2, initial_step_size=1.0)
-    master = jax.random.key(0)
+    params, _, lp0 = _readme_inputs(model)
+    build = lambda n, w: fused_adapt_rwmh_sample(
+        model.tile_density, d=2, n_samples=n, warmup=w,
+        initial_step_size=1.0, target_accept=optimal_rwmh_accept(2),
+        consts=model.tile_consts, tile_chains=1024,
+    )
+    return _ess_single_launch(build, (params, lp0))
+
+
+def bench_ess_per_s_adaptive_hmc(model):
+    """No-knobs AdaptiveHMC: joint (ε, mass) warmup, frozen trajectories."""
+    from advancedmh_tpu.ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
+
+    params, consts, lp0 = _readme_inputs(model)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+    build = lambda n, w: fused_adaptive_hmc_sample(
+        model.tile_density, d=2, n_samples=n, warmup=w, n_leapfrog=8,
+        initial_step_size=0.05, consts=model.tile_consts, tile_chains=1024,
+    )
+    return _ess_single_launch(
+        build, (params, lp0, g0), acc_band=(0.1, 0.99)
+    )
+
+
+def bench_ess_per_s_chees(model):
+    """No-knobs ChEES-HMC on the two-stage fused engine: XLA cross-chain
+    warmup (ε, T, mass all from batch statistics), then the fused frozen
+    kernel with the host-staged static Halton trajectory schedule
+    (ops/pallas_chees.py). Stages timed directly — steady-state is the
+    frozen kernel, amortized includes warmup + the (ε̄, T̄) host staging."""
+    from advancedmh_tpu import ChEESHMC
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.ops.pallas_chees import (
+        fused_chees_frozen_sample,
+        halton_trips,
+    )
+
+    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
+                   max_leapfrog=16)
 
     @jax.jit
-    def run(seed_key):
+    def warm(seed_key):
         _, state = jax.vmap(
             lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
         )(jax.random.split(seed_key, N_CHAINS))
@@ -310,32 +283,57 @@ def bench_ess_per_s_adapt_rwmh(model):
             )
             return s, None
 
-        state, _ = jax.lax.scan(wbody, state, jnp.arange(W))
+        state, _ = jax.lax.scan(wbody, state, jnp.arange(N_WARM))
+        return state
 
-        def body(s, j):
-            t, s = spl.step_batched(
-                jax.random.fold_in(seed_key, W + j), s, model, (N_CHAINS,)
+    kernels = {}
+
+    def frozen_for(ratio):
+        if ratio not in kernels:
+            kernels[ratio] = fused_chees_frozen_sample(
+                model.tile_density, d=2, n_samples=N_DRAWS,
+                trips=halton_trips(ratio, 16, spl.max_leapfrog),
+                consts=model.tile_consts, tile_chains=1024,
             )
-            return s, t.params[:, 0]
+        return kernels[ratio]
 
-        _, mus = jax.lax.scan(body, state, jnp.arange(N))
-        return mus  # (N, C)
+    def stage2_inputs(state):
+        eps_bar = float(jnp.exp(state.log_eps_bar.reshape(-1)[0]))
+        t_bar = float(jnp.exp(state.log_traj_bar.reshape(-1)[0]))
+        ratio = max(1, min(int(round(t_bar / eps_bar)), spl.max_leapfrog))
+        minv = jnp.asarray(
+            jax.tree_util.tree_leaves(state.inverse_mass)[0]
+        )[0].reshape(2, 1)
+        x_t = jnp.transpose(state.inner.params)
+        lp = state.inner.lp[None, :]
+        g_t = jnp.transpose(state.inner.gradient)
+        return ratio, (x_t, lp, g_t, jnp.float32(eps_bar), minv)
 
-    def go(sk):
-        mus = run(sk)
-        float(mus[-1, 0])  # scalar-read fence
-        return mus
+    # Pre-compile: run each trial's warmup once (deterministic per key) so
+    # every frozen-kernel ratio variant compiles outside the timed region.
+    for trial in range(4):
+        st = warm(jax.random.key(trial))
+        ratio, args = stage2_inputs(st)
+        out = frozen_for(ratio)(*args, trial)
+        float(out[0][-1, 0, 0])
 
-    go(master)
-    best, mus = float("inf"), None
+    best_am, best = float("inf"), None
     for trial in range(3):
         sk = jax.random.key(1 + trial)
         t0 = time.perf_counter()
-        out = go(sk)
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, mus = dt, out
-    return float(ess(mus)) / best
+        st = warm(sk)
+        ratio, args = stage2_inputs(st)  # includes the (ε̄, T̄) host pull
+        t1 = time.perf_counter()
+        samples, _, accs = frozen_for(ratio)(*args, 1 + trial)
+        float(samples[-1, 0, 0])  # scalar-read fence
+        t2 = time.perf_counter()
+        if t2 - t0 < best_am:
+            best_am, best = t2 - t0, (samples, accs, t2 - t1)
+    samples, accs, t_frozen = best
+    acc = float(accs.mean())
+    assert 0.2 < acc < 0.99, f"degenerate ChEES acceptance {acc}"
+    mu_ess = float(ess(samples[:, 0, :]))
+    return mu_ess / t_frozen, mu_ess / best_am
 
 
 def main():
@@ -354,8 +352,9 @@ def main():
               "falling back to XLA", file=sys.stderr)
         throughput, engine = bench_xla(model)
 
-    # ESS/s companions (the BASELINE.json north-star metric) — the adaptive
-    # samplers are what win it, so report them alongside the RWMH headline.
+    # ESS/s companions (the BASELINE.json north-star metric) under the one
+    # shared harness convention (module docstring): steady-state headline +
+    # warmup-amortized companion per sampler.
     ess_fields = {}
     for field, fn in [
         ("ess_per_s_mu", bench_ess_per_s),
@@ -366,7 +365,9 @@ def main():
         ("ess_per_s_mu_chees", bench_ess_per_s_chees),
     ]:
         try:
-            ess_fields[field] = fn(model)
+            steady, amortized = fn(model)
+            ess_fields[field] = steady
+            ess_fields[field + "_amortized"] = amortized
         except Exception as e:
             print(f"{field} skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -380,6 +381,11 @@ def main():
                 "unit": f"chain-steps/s ({N_CHAINS} chains, README 2-param "
                         f"Gaussian model, engine={engine})",
                 "vs_baseline": throughput / REFERENCE_SEQ_THROUGHPUT,
+                "ess_convention": (
+                    f"{N_WARM} warmup + {N_DRAWS} draws, 16384 chains, "
+                    "steady-state headline / _amortized companion "
+                    "(bench.py docstring)"
+                ),
                 **ess_fields,
             }
         )
