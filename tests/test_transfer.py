@@ -1,0 +1,59 @@
+"""utils/transfer.py: the hardened device→host transfer guard.
+
+The corruption itself (524 MB axon-tunnel pulls, CLAUDE.md 2026-08-19) is
+not reproducible on CPU; these tests pin the guard's *mechanics*: bounded
+slicing reproduces the full transfer bit-exactly, verification catches a
+doctored buffer, and host-side inputs pass through.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advancedmh_tpu.utils.transfer import (
+    TransferVerificationError,
+    _verify,
+    safe_device_get,
+)
+
+
+class TestSafeDeviceGet:
+    def test_chunked_pull_bitexact(self):
+        x = jnp.arange(40000, dtype=jnp.float32).reshape(100, 400) * 1.5
+        # 160 kB array, 4 kB chunks → 40+ slices
+        out = safe_device_get(x, max_chunk_bytes=4096)
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(out, np.asarray(x))
+
+    def test_small_and_scalar_single_shot(self):
+        tree = {"a": jnp.ones((3, 2)), "b": jnp.float32(2.5)}
+        out = safe_device_get(tree)
+        np.testing.assert_array_equal(out["a"], np.ones((3, 2)))
+        assert out["b"] == np.float32(2.5)
+
+    def test_host_inputs_pass_through(self):
+        tree = {"np": np.arange(5), "s": 3, "none": None}
+        out = safe_device_get(tree)
+        np.testing.assert_array_equal(out["np"], np.arange(5))
+        assert out["s"] == 3
+
+    def test_nan_elements_verify_clean(self):
+        x = jnp.asarray([np.nan, 1.0, np.nan], jnp.float32)
+        out = safe_device_get(x)
+        assert np.isnan(out[0]) and np.isnan(out[2])
+
+    def test_verification_catches_doctored_buffer(self):
+        x = jnp.arange(64, dtype=jnp.float32)
+        host = np.asarray(x).copy()
+        host[-1] += 1.0  # simulate the corrupted-pull regime
+        with pytest.raises(TransferVerificationError, match="mismatch"):
+            _verify(x, host)
+
+    def test_chunked_odd_shapes(self):
+        # leading axis not divisible by the slice rows; 1-row arrays
+        for shape in [(7, 33), (1, 9), (5,)]:
+            x = jnp.asarray(
+                np.random.default_rng(0).normal(size=shape), jnp.float32
+            )
+            out = safe_device_get(x, max_chunk_bytes=64)
+            np.testing.assert_array_equal(out, np.asarray(x))
