@@ -32,6 +32,9 @@ import jax.numpy as jnp
 
 def measure(num_devices: int, chains_per_device: int = 2048, n_steps: int = 2000):
     """Steady-state chain-steps/s on a ``num_devices``-wide chains mesh.
+    ``num_devices=0`` measures the plain vmap path (no mesh, no sharding
+    constraints) at the same per-device chain count — the delta against the
+    1-device mesh row isolates the pure GSPMD/sharding-annotation overhead.
 
     The jitted program is built ONCE and the timed calls replay the compiled
     executable — calling the ``sample()`` front-end per trial would re-trace
@@ -46,15 +49,18 @@ def measure(num_devices: int, chains_per_device: int = 2048, n_steps: int = 2000
 
     model = gaussian_mean_scale_model()
     spl = RWMH(MvNormal(jnp.zeros(2), scale=0.1))
-    mesh = make_mesh(n_devices=num_devices, axis="chains")
-    C = chains_per_device * num_devices
+    n_dev = max(num_devices, 1)
+    mesh = make_mesh(n_devices=n_dev, axis="chains")
+    C = chains_per_device * n_dev
 
     schedule = Schedule(
         n_samples=1, num_warmup=0, discard_initial=n_steps, thinning=1
     )
     chain_fn = build_chain_fn(
         spl, model, schedule, batch_shape=(C,),
-        state_sharding=chain_sharding(mesh, "chains"),
+        state_sharding=(
+            chain_sharding(mesh, "chains") if num_devices > 0 else None
+        ),
     )
     fn = jax.jit(lambda k: chain_fn(k, jnp.asarray([0.0, 1.0])))
     key = jax.random.key(0)
@@ -74,8 +80,16 @@ def measure(num_devices: int, chains_per_device: int = 2048, n_steps: int = 2000
 
 def main():
     n_total = len(jax.devices())
+    vmap_base = measure(0)
     base = measure(1)
-    results = {"1": {"chain_steps_per_s": base, "efficiency": 1.0}}
+    results = {
+        "vmap(no-mesh)": {"chain_steps_per_s": vmap_base},
+        "1": {
+            "chain_steps_per_s": base,
+            "efficiency": 1.0,
+            "sharding_overhead_vs_vmap": 1.0 - base / vmap_base,
+        },
+    }
     n = 2
     while n <= n_total:
         r = measure(n)
