@@ -1049,3 +1049,63 @@ class TestFusedAdaptiveHMC:
             sample(model, AdaptiveHMC(), 10, key=0, num_chains=1024,
                    engine="fused", num_warmup=20, discard_initial=0,
                    initial_params=jnp.zeros(2))
+
+
+@requires_tpu
+class TestFusedChEES:
+    """Two-stage fused ChEES engine (ops/pallas_chees.py +
+    runtime/fused.py::sample_fused_chees): XLA cross-chain warmup, then the
+    frozen phase in VMEM under the host-staged static Halton trajectory
+    schedule."""
+
+    def test_sample_engine_fused_chees(self):
+        """Posterior covariance recovery at the 0.65 acceptance target,
+        thin=1 happy path."""
+        from advancedmh_tpu import ChEESHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        res = sample(
+            model, spl, 800, key=3, num_chains=2048, engine="fused",
+            num_warmup=300, discard_initial=300,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        acc = float(np.asarray(res.transitions.accepted).mean())
+        assert 0.4 < acc < 0.95
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.15)
+        # final_state carries the full XLA warmup statistics + fused inner
+        st = res.final_state
+        assert np.isfinite(np.asarray(st.log_eps_bar)).all()
+        assert np.isfinite(np.asarray(st.log_traj_bar)).all()
+        assert np.asarray(st.inner.params).shape == (2048, 2)
+
+    def test_fused_chees_thinning_and_batched_init(self):
+        """thin=2 selects a different kernel specialization (trips schedule
+        length E·thin) and batched initial params exercise the vmapped
+        init path."""
+        from advancedmh_tpu import ChEESHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        x0 = np.random.default_rng(0).normal(size=(2048, 2)) * 0.1
+        res = sample(
+            model, spl, 400, key=11, num_chains=2048, engine="fused",
+            num_warmup=300, discard_initial=300, thinning=2,
+            initial_params=jnp.asarray(x0, jnp.float32),
+            initial_params_batched=True,
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.07)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
