@@ -674,6 +674,7 @@ def sample_fused_chees(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 1024,
+    initial_state=None,
     mesh=None,
     mesh_axis: str = "chains",
 ):
@@ -701,53 +702,74 @@ def sample_fused_chees(
     statistics (Welford moments, dual-averaging sums, Adam state) with the
     last emitted draw as ``inner`` — so both frozen continuation and
     warmup continuation resume consistently, unlike the per-chain fused
-    AdaptiveHMC reconstruction."""
+    AdaptiveHMC reconstruction.
+
+    ``initial_state`` (a frozen ``ChEESHMCState``, e.g. a prior chunk's
+    ``final_state``) resumes post-warmup: stage 1 is skipped and the frozen
+    phase is re-staged from the saved (ε̄, T̄, M⁻¹) — same integer ratio →
+    same compiled kernel across chunks. Requires the chunk-resume schedule
+    (``num_warmup=0``, ``discard_initial=thinning``, ≙ fused RAM)."""
     from ..ops.pallas_chees import fused_chees_frozen_sample, halton_trips
     from ..samplers.base import GradientTransition
     from ..utils import replace as _replace
 
-    if discard_initial != num_warmup:
-        raise ValueError(
-            "fused ChEESHMC supports the standard schedule discard_initial "
-            "== num_warmup; use the XLA path to keep warmup draws."
-        )
-    if num_warmup < 1:
-        raise ValueError(
-            "fused ChEESHMC requires num_warmup >= 1 (the engine exists to "
-            "freeze the warmup-adapted (ε̄, T̄))."
-        )
-    if initial_params is None:
-        raise ValueError("please specify initial parameters")
-    d = model.dimension
-    if d is None:
-        d = int(np.asarray(initial_params).shape[-1])
+    if initial_state is not None:
+        if num_warmup != 0 or discard_initial != thinning:
+            raise ValueError(
+                "fused ChEESHMC resume expects the chunk-resume schedule "
+                "(num_warmup=0, discard_initial=thinning)."
+            )
+        wstate = initial_state
+        d = model.dimension
+        if d is None:
+            d = int(np.asarray(wstate.inner.params).shape[-1])
+    else:
+        if discard_initial != num_warmup:
+            raise ValueError(
+                "fused ChEESHMC supports the standard schedule "
+                "discard_initial == num_warmup; use the XLA path to keep "
+                "warmup draws."
+            )
+        if num_warmup < 1:
+            raise ValueError(
+                "fused ChEESHMC requires num_warmup >= 1 (the engine "
+                "exists to freeze the warmup-adapted (ε̄, T̄))."
+            )
+        if initial_params is None:
+            raise ValueError("please specify initial parameters")
+        d = model.dimension
+        if d is None:
+            d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
     c_pad, tile = _fused_tiling(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
-    # Stage 1 — XLA warmup (full-batch cross-chain adaptation).
-    init = jnp.asarray(initial_params, jnp.float32)
-    init_b = (
-        jnp.broadcast_to(init, (num_chains, d)) if init.ndim == 1 else init
-    )
+    if initial_state is None:
+        # Stage 1 — XLA warmup (full-batch cross-chain adaptation).
+        init = jnp.asarray(initial_params, jnp.float32)
+        init_b = (
+            jnp.broadcast_to(init, (num_chains, d))
+            if init.ndim == 1
+            else init
+        )
 
-    @jax.jit
-    def warm(k):
-        _, state = jax.vmap(
-            lambda kk, x0: sampler.init(kk, model, x0)
-        )(jax.random.split(k, num_chains), init_b)
+        @jax.jit
+        def warm(k):
+            _, state = jax.vmap(
+                lambda kk, x0: sampler.init(kk, model, x0)
+            )(jax.random.split(k, num_chains), init_b)
 
-        def body(s, j):
-            _, s = sampler.step_warmup_batched(
-                jax.random.fold_in(k, j), s, model, (num_chains,)
-            )
-            return s, None
+            def body(s, j):
+                _, s = sampler.step_warmup_batched(
+                    jax.random.fold_in(k, j), s, model, (num_chains,)
+                )
+                return s, None
 
-        state, _ = jax.lax.scan(body, state, jnp.arange(num_warmup))
-        return state
+            state, _ = jax.lax.scan(body, state, jnp.arange(num_warmup))
+            return state
 
-    wstate = warm(key)
+        wstate = warm(key)
 
     # Stage 2 — host-stage (ε̄, T̄); bake the static Halton trip schedule.
     eps_bar = float(jnp.exp(wstate.log_eps_bar.reshape(-1)[0]))

@@ -434,6 +434,7 @@ def sample(
         resume_S = None
         resume_am = None
         resume_re = None
+        resume_chees = None
         if initial_state is not None:
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
@@ -443,13 +444,15 @@ def sample(
                 resume_am = initial_state
             elif isinstance(sampler, _RE):
                 resume_re = initial_state
-            elif isinstance(sampler, (_SSA, _AHMC, _ChEES)):
+            elif isinstance(sampler, (_SSA, _AHMC)):
                 raise NotImplementedError(
-                    "engine='fused' StepSizeAdaptation/AdaptiveHMC/ChEESHMC "
-                    "does not resume from a saved state (the frozen "
-                    "ε̄/T̄/M⁻¹ would reset); use the XLA engine for "
-                    "chunked/resumed runs."
+                    "engine='fused' StepSizeAdaptation/AdaptiveHMC does not "
+                    "resume from a saved state (the frozen per-chain ε̄/M⁻¹ "
+                    "would reset); use the XLA engine for chunked/resumed "
+                    "runs."
                 )
+            elif isinstance(sampler, _ChEES):
+                resume_chees = initial_state
             else:
                 initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
@@ -557,6 +560,7 @@ def sample(
                 num_warmup=schedule.num_warmup,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                initial_state=resume_chees,
                 **mesh_kw,
             )
         elif isinstance(sampler, _AHMC):

@@ -191,13 +191,20 @@ class TestFusedChEESPlumbing:
                    engine="fused", num_warmup=0, discard_initial=0,
                    initial_params=jnp.zeros(2))
 
-    def test_chees_resume_rejected(self):
+    def test_chees_resume_needs_chunk_schedule(self):
+        """Fused ChEES resume is supported (frozen-phase re-staging from
+        the saved ε̄/T̄/M⁻¹) but only under the chunk-resume schedule —
+        anything else raises before a kernel compiles."""
         from advancedmh_tpu import ChEESHMC, sample
 
         spl = ChEESHMC(max_leapfrog=4)
         res = sample(self._model(), spl, 5, key=0, num_chains=4,
                      num_warmup=10, discard_initial=10,
                      initial_params=jnp.zeros(2))
-        with pytest.raises(NotImplementedError, match="ChEESHMC"):
+        with pytest.raises(ValueError, match="chunk-resume"):
             sample(self._model(), spl, 5, key=0, num_chains=4,
                    engine="fused", initial_state=res.final_state)
+        with pytest.raises(ValueError, match="chunk-resume"):
+            sample(self._model(), spl, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state,
+                   num_warmup=3, discard_initial=3)

@@ -1109,3 +1109,31 @@ class TestFusedChEES:
         draws = np.asarray(res.transitions.params).reshape(-1, 2)
         np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.07)
         np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+
+    def test_chunked_fused_chees_resume(self):
+        """Chunked fused ChEES: chunk 1 runs the XLA warmup + frozen
+        kernel; chunk 2 resumes post-warmup from the saved state (same
+        frozen ε̄/T̄/M⁻¹ → same compiled kernel), so the concatenated run
+        recovers the posterior and the frozen statistics never reset."""
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        res = sample_chunked(
+            model, spl, 800, chunk_size=400, key=5, num_chains=2048,
+            engine="fused", num_warmup=300, discard_initial=300,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert draws.shape == (800 * 2048, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+        # the frozen shared statistics survived the chunk boundary
+        st = res.final_state
+        assert np.isfinite(np.asarray(st.log_traj_bar)).all()
