@@ -1137,3 +1137,28 @@ class TestFusedChEES:
         # the frozen shared statistics survived the chunk boundary
         st = res.final_state
         assert np.isfinite(np.asarray(st.log_traj_bar)).all()
+
+    def test_fused_chees_funnel_d10(self):
+        """d=10 Neal funnel: exercises the fused frozen kernel beyond d=2
+        (vmem-capped tile selection) on the divergence-prone geometry —
+        the adapted schedule stays finite and the chains reach the neck."""
+        from advancedmh_tpu import ChEESHMC, sample
+        from advancedmh_tpu.models.targets import neal_funnel_model
+
+        model = neal_funnel_model(10)
+        spl = ChEESHMC(
+            initial_step_size=0.2, initial_trajectory_length=1.0,
+            max_leapfrog=16,
+        )
+        res = sample(
+            model, spl, 600, key=2, num_chains=2048, engine="fused",
+            num_warmup=400, discard_initial=400,
+            initial_params=jnp.zeros(10),
+        )
+        v = np.asarray(res.transitions.params)[:, :, 0]
+        assert np.isfinite(np.asarray(res.transitions.lp)).all()
+        st = res.final_state
+        assert np.isfinite(np.asarray(st.log_eps_bar)).all()
+        assert np.isfinite(np.asarray(st.log_traj_bar)).all()
+        assert (v < -2).mean() > 0.08  # reaches the neck
+        assert abs(v.mean()) < 1.2
