@@ -74,3 +74,7 @@ def test_hmc_example():
 
 def test_chees_example():
     _run("chees_example", {"N_SAMPLES": "300"})
+
+
+def test_geometry_example():
+    _run("geometry_example", {"N_SAMPLES": "600"})
