@@ -319,9 +319,12 @@ def sample(
 
     ``callback`` (≙ the AbstractMCMC per-iteration ``callback`` kwarg,
     exercised at reference test/RobustAdaptiveMetropolis.jl:46-56) is invoked
-    on the host as ``callback(chunk_result, chunk_index)`` at scan-chunk
-    cadence — the TPU-native hook granularity (per-step host calls would
-    serialize the device). ``chunk_size`` sets the cadence (default
+    on the host as ``callback(chunk_result, info)`` at scan-chunk cadence —
+    the TPU-native hook granularity (per-step host calls would serialize
+    the device). ``info`` is a :class:`~.chunked.ChunkInfo`: the integer
+    chunk index enriched with ``iteration_range`` (absolute iteration
+    labels) and ``final_state`` — the reference callback's ``(state,
+    iteration)`` arguments. ``chunk_size`` sets the cadence (default
     ≈ n_samples/20, capped at 1000; ``chunk_size=1`` gives exact
     per-iteration cadence at host-roundtrip cost). ``progress=True`` prints
     one host-side progress line per chunk. Either kwarg routes the run
