@@ -48,9 +48,11 @@ class ChunkInfo(int):
     code keeps working unchanged; richer callbacks additionally read
 
     - ``info.iteration_range`` — the absolute sampler-iteration labels of
-      the chunk's emitted draws (a ``range`` with the thinning stride;
-      ≙ the reference callback's ``iteration`` argument,
-      test/RobustAdaptiveMetropolis.jl:46-56), and
+      the chunk's emitted draws (a ``range`` with the thinning stride,
+      1-based and aligned with ``result.schedule.iterations()`` / the
+      Chains ``start``/``thin`` convention: the first kept sample is
+      labeled ``discard_initial + 1``; ≙ the reference callback's
+      ``iteration`` argument, test/RobustAdaptiveMetropolis.jl:46-56), and
     - ``info.final_state`` — the full sampler state after the chunk (≙ the
       reference callback's ``state`` argument), so adaptation dynamics are
       observable through the public ``sample(callback=...)`` without
@@ -278,8 +280,8 @@ def sample_chunked(
         if callback is not None:
             callback(host, ChunkInfo(
                 idx,
-                range(offset_after - (n_chunk - 1) * th, offset_after + 1,
-                      th),
+                range(offset_after - (n_chunk - 1) * th + 1,
+                      offset_after + 2, th),
                 res.final_state,
             ))
         if progress:

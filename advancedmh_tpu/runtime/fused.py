@@ -662,6 +662,55 @@ def sample_fused_adaptive_hmc(
     return transitions, final_state
 
 
+def chees_frozen_stage(sampler, wstate, d: int):
+    """Host-stage the frozen ChEES launch from a warmed state.
+
+    Pulls the two adapted scalars, quantizes the trajectory ratio, extracts
+    the shared inverse-mass column and the transposed state arrays. Shared
+    by :func:`sample_fused_chees` and bench.py's ChEES harness so the
+    published numbers measure exactly the staging the library runs.
+
+    Guards against a NON-replicated state: the frozen kernel applies ONE
+    (ε̄, T̄, M⁻¹) to every chain, which is only correct for states produced
+    by the batched (pooled) warmup. A per-chain-adapted state (e.g. the
+    single-chain/vmapped ``step_warmup`` fallback, ``vectorized=False``)
+    would be silently collapsed to chain 0's values — raise instead.
+    """
+    leb = jnp.asarray(wstate.log_eps_bar).reshape(-1)
+    ltb = jnp.asarray(wstate.log_traj_bar).reshape(-1)
+    minv_leaf = jnp.asarray(
+        jax.tree_util.tree_leaves(wstate.inverse_mass)[0]
+    )
+    spread = jnp.maximum(
+        jnp.max(leb) - jnp.min(leb), jnp.max(ltb) - jnp.min(ltb)
+    )
+    if minv_leaf.ndim > 1:
+        spread = jnp.maximum(
+            spread,
+            jnp.max(jnp.max(minv_leaf, 0) - jnp.min(minv_leaf, 0)),
+        )
+    if float(spread) > 1e-5:
+        raise ValueError(
+            "fused ChEESHMC needs replicated (shared) adaptation "
+            "statistics, but this state carries per-chain values "
+            f"(spread {float(spread):.3g}) - it was warmed by the "
+            "per-chain fallback kernels (vectorized=False / single-chain), "
+            "not the batched pooled warmup. Use the XLA engine for it."
+        )
+    eps_bar = float(jnp.exp(leb[0]))
+    t_bar = float(jnp.exp(ltb[0]))
+    ratio = max(
+        1, min(int(round(t_bar / eps_bar)), int(sampler.max_leapfrog))
+    )
+    minv_col = (
+        minv_leaf[0] if minv_leaf.ndim > 1 else minv_leaf
+    ).reshape(d, 1)
+    x_t = jnp.transpose(wstate.inner.params)  # (d, C)
+    lp0 = wstate.inner.lp[None, :]
+    g_t = jnp.transpose(wstate.inner.gradient)
+    return ratio, jnp.float32(eps_bar), minv_col, x_t, lp0, g_t
+
+
 def sample_fused_chees(
     model,
     sampler,
@@ -761,36 +810,31 @@ def sample_fused_chees(
             )(jax.random.split(k, num_chains), init_b)
 
             def body(s, j):
+                # Absolute-iteration key indexing (CLAUDE.md contract):
+                # init is j=0, warmup steps consume j=1..W.
                 _, s = sampler.step_warmup_batched(
                     jax.random.fold_in(k, j), s, model, (num_chains,)
                 )
                 return s, None
 
-            state, _ = jax.lax.scan(body, state, jnp.arange(num_warmup))
+            state, _ = jax.lax.scan(
+                body, state, jnp.arange(1, num_warmup + 1)
+            )
             return state
 
         wstate = warm(key)
 
     # Stage 2 — host-stage (ε̄, T̄); bake the static Halton trip schedule.
-    eps_bar = float(jnp.exp(wstate.log_eps_bar.reshape(-1)[0]))
-    t_bar = float(jnp.exp(wstate.log_traj_bar.reshape(-1)[0]))
-    ratio = max(1, min(int(round(t_bar / eps_bar)), int(sampler.max_leapfrog)))
+    ratio, eps_arr, minv_col, x_t, lp0, g_t = chees_frozen_stage(
+        sampler, wstate, d
+    )
     E = min(16, n_samples)
     trips = halton_trips(ratio, E * thinning, sampler.max_leapfrog)
-
-    minv_shared = jnp.asarray(
-        jax.tree_util.tree_leaves(wstate.inverse_mass)[0]
-    )[0]  # (d,) — pooled mass is replicated across the chain axis
-    x_t = jnp.transpose(wstate.inner.params)  # (d, C)
-    lp0 = wstate.inner.lp[None, :]
-    g_t = jnp.transpose(wstate.inner.gradient)
 
     base = fused_chees_frozen_sample(
         tile_fn, d, n_samples, trips=trips, thin=thinning, consts=consts,
         tile_chains=tile, samples_per_block=E,
     )
-    eps_arr = jnp.float32(eps_bar)
-    minv_col = minv_shared.reshape(d, 1)
     run = lambda x, l, g, seed: base(x, l, g, eps_arr, minv_col, seed)
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)

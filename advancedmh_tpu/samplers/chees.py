@@ -380,8 +380,38 @@ class ChEESHMC(Sampler):
         bn = len(batch_shape)
         axes = tuple(range(bn))
 
+        # Divergence robustness (all observed on Neal's funnel). A diverged
+        # or near-divergent trajectory carries a non-finite or astronomically
+        # large endpoint (|x| ~ 1e15 while the state stays "finite"): it must
+        # be EXCLUDED before the cross-chain means, or one sick chain shifts
+        # μ′ for every healthy chain (and an inf endpoint nans the mean,
+        # zeroing the whole batch's signal). Healthy = finite,
+        # sanely-bounded endpoint per chain — a *rejected* finite endpoint
+        # (w = 0) still contributes to the centering means, matching the
+        # paper's full-batch μ′.
+        def chain_finite(tree):
+            flags = _tmap(
+                lambda l: jnp.all(
+                    jnp.abs(l) < 1e10, axis=tuple(range(bn, l.ndim))
+                ),
+                tree,
+            )
+            return jax.tree_util.tree_reduce(jnp.logical_and, flags)
+
+        healthy = (chain_finite(x1) & chain_finite(p1)).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(healthy), 1.0)
+
         def center(tree):
-            return _tmap(lambda l: l - jnp.mean(l, axis=axes), tree)
+            def leaf(l):
+                hb = healthy.reshape(
+                    healthy.shape + (1,) * (l.ndim - bn)
+                )
+                mean = jnp.sum(
+                    jnp.where(hb > 0, l, 0.0), axis=axes, keepdims=True
+                ) / cnt
+                return l - mean
+
+            return _tmap(leaf, tree)
 
         x0c = center(state.inner.params)
         x1c = center(x1)
@@ -398,23 +428,16 @@ class ChEESHMC(Sampler):
                 x1c, vel,
             )
         )
-        # Divergence robustness: a diverged trajectory carries lp = −inf →
-        # w = 0 but delta/dot = ±inf, and 0·inf = nan would poison Adam's
-        # moments (observed on Neal's funnel: T̄ → nan). Zero those
-        # contributions explicitly — a rejected divergence carries no
-        # trajectory-length signal.
-        contrib = w * delta * dot
-        # f32 overflow hygiene for heavy-curvature targets (Neal's funnel):
-        # near-divergent excursions reach |x| ~ 1e15, so per-chain
-        # contributions hit ±inf (→ zeroed) and even *finite* ones reach
-        # ~1e37, whose running sum can overflow to ±inf and then nan
-        # (+inf − inf) — clamp elements so the batch sum stays finite.
-        # Adam's update size is scale-invariant (≤ learning_rate for any
-        # finite g), so neither clamp distorts the adapted T trajectory.
+        contrib = w * delta * dot * healthy
+        # f32 overflow backstops: zero any residual non-finite contribution
+        # and clamp elements so the batch sum cannot overflow to ±inf (and
+        # then nan via +inf − inf). Adam's update size is scale-invariant
+        # (≤ learning_rate for any finite g), so the clamps only prevent
+        # overflow — they don't distort the adapted-T trajectory.
         contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
         contrib = jnp.clip(contrib, -1e30, 1e30)
         num = jnp.sum(contrib)
-        den = jnp.maximum(jnp.sum(w), 1e-6)
+        den = jnp.maximum(jnp.sum(w * healthy), 1e-6)
         return jnp.clip(traj_len * num / den, -1e6, 1e6)
 
     def step_warmup_batched(

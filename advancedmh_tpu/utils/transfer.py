@@ -22,7 +22,7 @@ import numpy as np
 # Slice size under the observed-bad regime (corruption seen at 524 MB,
 # absent at ≤65 MB).
 DEFAULT_MAX_CHUNK_BYTES = 64 << 20
-_N_PROBES = 3  # elements verified per array via device scalar reads
+_N_PROBES = 256  # elements spot-checked per array (one small gather)
 
 
 class TransferVerificationError(RuntimeError):
@@ -30,38 +30,62 @@ class TransferVerificationError(RuntimeError):
 
 
 def _get_chunked(arr, max_chunk_bytes: int) -> np.ndarray:
+    """Pull ``arr`` in transfers each ≤ ``max_chunk_bytes``.
+
+    Slices the *flattened* view, so every transfer is bounded regardless
+    of shape (a single >64 MB leading-axis row, or shape[0] == 1, would
+    defeat row-based slicing). The host buffer is preallocated and filled
+    slice-by-slice — peak host memory is size + one slice, not 2·size.
+    """
     nbytes = arr.size * arr.dtype.itemsize
-    if nbytes <= max_chunk_bytes or arr.ndim == 0 or arr.shape[0] <= 1:
+    if nbytes <= max_chunk_bytes or arr.ndim == 0:
         return np.asarray(arr)
-    rows = max(1, int(arr.shape[0] * max_chunk_bytes / nbytes))
-    parts = [
-        np.asarray(arr[i : i + rows]) for i in range(0, arr.shape[0], rows)
-    ]
-    return np.concatenate(parts, axis=0)
+    flat = arr.reshape(-1)
+    step = max(1, max_chunk_bytes // arr.dtype.itemsize)
+    out = np.empty(arr.size, arr.dtype)
+    for i in range(0, arr.size, step):
+        out[i : i + step] = np.asarray(flat[i : i + step])
+    return out.reshape(arr.shape)
+
+
+def _probe_indices(size: int) -> np.ndarray:
+    """Deterministic pseudo-random probe set (always incl. first/last)."""
+    n = min(_N_PROBES, size)
+    idx = np.random.default_rng(size).integers(0, size, size=n)
+    idx[0] = 0
+    if n > 1:
+        idx[1] = size - 1
+    return np.unique(idx)
 
 
 def _verify(arr, host: np.ndarray) -> None:
+    """Spot-check the pulled buffer against on-device values.
+
+    ~256 pseudo-random elements are gathered ON DEVICE and transferred as
+    one tiny (safe-regime) buffer, then compared bitwise. Against the
+    observed ~2%-sparse corruption this detects a bad pull with
+    probability ≈ 1 − 0.98²⁵⁶ ≈ 99.4% per array (and the corrupted-run
+    incident involved several arrays) — a probabilistic tripwire, not a
+    proof; reduce on device when the statistic allows it.
+    """
     if host.size == 0:
         return
-    flat_host = host.reshape(-1)
-    flat_dev = arr.reshape(-1)
-    idxs = {0, host.size - 1, (host.size - 1) // 2}
-    for i in idxs:
-        dev_val = np.asarray(jax.device_get(flat_dev[i]))  # scalar read
-        host_val = flat_host[i]
-        ok = (
-            dev_val == host_val
-            or (np.isnan(dev_val) and np.isnan(host_val))
+    idx = _probe_indices(host.size)
+    dev_vals = np.asarray(jax.device_get(arr.reshape(-1)[idx]))
+    host_vals = host.reshape(-1)[idx]
+    ok = (dev_vals == host_vals) | (
+        np.isnan(dev_vals) & np.isnan(host_vals)
+    )
+    if not ok.all():
+        i = int(idx[int(np.argmin(ok))])
+        raise TransferVerificationError(
+            f"device→host transfer mismatch at flat index {i} "
+            f"({int((~ok).sum())}/{ok.size} probes disagree; shape "
+            f"{host.shape}, {host.nbytes >> 20} MB). This is the known "
+            "large-buffer tunnel corruption (CLAUDE.md 2026-08-19): "
+            "re-pull with a smaller max_chunk_bytes, or reduce on device "
+            "and transfer scalars/slices."
         )
-        if not ok:
-            raise TransferVerificationError(
-                f"device→host transfer mismatch at flat index {i}: "
-                f"device={dev_val!r} host={host_val!r} "
-                f"(shape {host.shape}, {host.nbytes >> 20} MB). This is "
-                "the known large-buffer tunnel corruption (CLAUDE.md "
-                "2026-08-19): re-pull with a smaller max_chunk_bytes, or "
-                "reduce on device and transfer scalars/slices."
-            )
 
 
 def safe_device_get(
@@ -72,14 +96,16 @@ def safe_device_get(
 ) -> Any:
     """Transfer a pytree of device arrays to host numpy, hardened.
 
-    Arrays larger than ``max_chunk_bytes`` are pulled in leading-axis
-    slices (each ≤ the bound), keeping every individual transfer below the
-    observed-bad regime. With ``verify=True`` (default), three elements of
-    each pulled array (first/middle/last) are compared against direct
-    on-device scalar reads — a mismatch raises
+    Arrays larger than ``max_chunk_bytes`` are pulled in flat-view slices
+    (each ≤ the bound), keeping every individual transfer below the
+    observed-bad regime with peak host memory of size + one slice. With
+    ``verify=True`` (default), ~256 deterministic pseudo-random elements
+    of each pulled array are gathered on device, transferred as one tiny
+    buffer, and compared bitwise — a mismatch raises
     :class:`TransferVerificationError` instead of silently returning
-    corrupted statistics. Host-side inputs (numpy arrays, scalars) pass
-    through untouched.
+    corrupted statistics (≈99% detection against the observed ~2%-sparse
+    corruption; a tripwire, not a proof). Host-side inputs (numpy arrays,
+    scalars) pass through untouched.
     """
 
     def leaf(x):

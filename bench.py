@@ -298,16 +298,14 @@ def bench_ess_per_s_chees(model):
         return kernels[ratio]
 
     def stage2_inputs(state):
-        eps_bar = float(jnp.exp(state.log_eps_bar.reshape(-1)[0]))
-        t_bar = float(jnp.exp(state.log_traj_bar.reshape(-1)[0]))
-        ratio = max(1, min(int(round(t_bar / eps_bar)), spl.max_leapfrog))
-        minv = jnp.asarray(
-            jax.tree_util.tree_leaves(state.inverse_mass)[0]
-        )[0].reshape(2, 1)
-        x_t = jnp.transpose(state.inner.params)
-        lp = state.inner.lp[None, :]
-        g_t = jnp.transpose(state.inner.gradient)
-        return ratio, (x_t, lp, g_t, jnp.float32(eps_bar), minv)
+        # the engine's own staging helper — bench measures exactly what
+        # sample_fused_chees runs (incl. the replication guard)
+        from advancedmh_tpu.runtime.fused import chees_frozen_stage
+
+        ratio, eps_arr, minv_col, x_t, lp, g_t = chees_frozen_stage(
+            spl, state, 2
+        )
+        return ratio, (x_t, lp, g_t, eps_arr, minv_col)
 
     # Pre-compile: run each trial's warmup once (deterministic per key) so
     # every frozen-kernel ratio variant compiles outside the timed region.

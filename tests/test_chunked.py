@@ -224,11 +224,15 @@ class TestSampleCallbackProgress:
         )
         assert [int(i) for i in infos] == [0, 1, 2]
         assert all(isinstance(i, ChunkInfo) for i in infos)
-        # sample 1 = state after discard_initial steps, stride = thinning:
-        # absolute iterations 4, 6, 8, ... (runtime/schedule.py contract).
+        # Labels follow the Chains start/thin convention (sample 1 is
+        # labeled discard_initial + 1), aligned with schedule.iterations().
         assert [list(i.iteration_range) for i in infos] == [
-            [4, 6, 8, 10], [12, 14, 16, 18], [20]
+            [5, 7, 9, 11], [13, 15, 17, 19], [21]
         ]
+        assert (
+            [j for i in infos for j in i.iteration_range]
+            == list(res.schedule.iterations())
+        )
         # final_state of the last chunk is the run's final state.
         np.testing.assert_array_equal(
             np.asarray(infos[-1].final_state.params),

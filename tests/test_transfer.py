@@ -49,6 +49,25 @@ class TestSafeDeviceGet:
         with pytest.raises(TransferVerificationError, match="mismatch"):
             _verify(x, host)
 
+    def test_single_row_still_bounded(self):
+        """shape[0] == 1 must not bypass the slicing: the flat view is
+        sliced, so every transfer stays under the bound."""
+        x = jnp.arange(30000, dtype=jnp.float32).reshape(1, 30000)
+        out = safe_device_get(x, max_chunk_bytes=4096)
+        np.testing.assert_array_equal(out, np.asarray(x))
+
+    def test_verification_catches_interior_corruption(self):
+        """The probe set is pseudo-random, not just the edges — a doctored
+        interior element (the observed sparse-corruption mode) trips it."""
+        x = jnp.arange(10000, dtype=jnp.float32)
+        host = np.asarray(x).copy()
+        from advancedmh_tpu.utils.transfer import _probe_indices
+
+        interior = [i for i in _probe_indices(10000) if 0 < i < 9999]
+        host[interior[len(interior) // 2]] += 0.5
+        with pytest.raises(TransferVerificationError, match="mismatch"):
+            _verify(x, host)
+
     def test_chunked_odd_shapes(self):
         # leading axis not divisible by the slice rows; 1-row arrays
         for shape in [(7, 33), (1, 9), (5,)]:
