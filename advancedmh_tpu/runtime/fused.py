@@ -795,19 +795,34 @@ def sample_fused_chees(
     )
 
     if initial_state is None:
-        # Stage 1 — XLA warmup (full-batch cross-chain adaptation).
+        # Stage 1 — XLA warmup (full-batch cross-chain adaptation). With a
+        # mesh, the warmup state is sharding-constrained over the chain
+        # axis (every ChEESHMCState leaf is chain-leading), so GSPMD runs
+        # the warmup sharded with the pooled reductions as psums over ICI —
+        # matching the XLA engine — instead of concentrating the whole
+        # batch on one device (ADVICE r3).
         init = jnp.asarray(initial_params, jnp.float32)
         init_b = (
             jnp.broadcast_to(init, (num_chains, d))
             if init.ndim == 1
             else init
         )
+        if mesh is not None:
+            from ..parallel.mesh import chain_sharding
+
+            _ws = chain_sharding(mesh, mesh_axis)
+            constrain = lambda s: jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, _ws), s
+            )
+        else:
+            constrain = lambda s: s
 
         @jax.jit
         def warm(k):
             _, state = jax.vmap(
                 lambda kk, x0: sampler.init(kk, model, x0)
             )(jax.random.split(k, num_chains), init_b)
+            state = constrain(state)
 
             def body(s, j):
                 # Absolute-iteration key indexing (CLAUDE.md contract):
@@ -839,8 +854,11 @@ def sample_fused_chees(
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)
+    # Seed from the first *post-warmup* iteration index: fold_in(key, j) for
+    # j = 0..num_warmup is already consumed by init + warmup steps, and the
+    # absolute-iteration key discipline never reuses a spent index.
     seed = jax.random.randint(
-        jax.random.fold_in(key, num_warmup), (), 0, 2**31 - 1,
+        jax.random.fold_in(key, num_warmup + 1), (), 0, 2**31 - 1,
         dtype=jnp.int32,
     )
     samples, lps, accs = run(x_t, lp0, g_t, seed)

@@ -48,10 +48,20 @@ def _get_chunked(arr, max_chunk_bytes: int) -> np.ndarray:
     return out.reshape(arr.shape)
 
 
+_probe_calls = 0  # varies the probe set across calls (ADVICE r3: a
+# size-only seed re-checked the identical indices on every re-pull retry,
+# systematically missing a size-correlated corruption pattern)
+
+
 def _probe_indices(size: int) -> np.ndarray:
-    """Deterministic pseudo-random probe set (always incl. first/last)."""
+    """Pseudo-random probe set (always incl. first/last), different on
+    every call so re-pull retries sample independent index sets."""
+    global _probe_calls
+    _probe_calls += 1
     n = min(_N_PROBES, size)
-    idx = np.random.default_rng(size).integers(0, size, size=n)
+    idx = np.random.default_rng((size, _probe_calls)).integers(
+        0, size, size=n
+    )
     idx[0] = 0
     if n > 1:
         idx[1] = size - 1

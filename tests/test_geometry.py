@@ -112,8 +112,12 @@ class TestNealFunnel:
         assert np.isfinite(np.asarray(res.transitions.lp)).all()
 
         _, v_fixed = self._run(HamiltonianMC(0.4, 8), discard_initial=self.W)
-        assert (v_fixed < -4).mean() == 0.0  # coarse fixed ε never enters
+        # coarse fixed ε (essentially) never enters the neck — a near-zero
+        # bound, not exact zero: one stray excursion over 512×1500 draws
+        # under a different key/codegen must not fail the suite
+        assert (v_fixed < -4).mean() < 1e-4
         assert (v < -4).mean() > 0.0  # adapted ε at least reaches it
+        assert (v < -4).mean() > (v_fixed < -4).mean()
         assert (v < -2).mean() > (v_fixed < -2).mean()
 
 

@@ -61,12 +61,27 @@ class TestSafeDeviceGet:
         interior element (the observed sparse-corruption mode) trips it."""
         x = jnp.arange(10000, dtype=jnp.float32)
         host = np.asarray(x).copy()
+        from advancedmh_tpu.utils import transfer
         from advancedmh_tpu.utils.transfer import _probe_indices
 
+        # The probe set varies per call (ADVICE r3: retries must sample
+        # fresh indices); pin the call counter so the set we doctor is the
+        # set _verify probes.
+        transfer._probe_calls = 41
         interior = [i for i in _probe_indices(10000) if 0 < i < 9999]
         host[interior[len(interior) // 2]] += 0.5
+        transfer._probe_calls = 41
         with pytest.raises(TransferVerificationError, match="mismatch"):
             _verify(x, host)
+
+    def test_probe_sets_vary_across_calls(self):
+        """Repeated pulls of a same-sized buffer must not re-check the
+        identical index set (ADVICE r3)."""
+        from advancedmh_tpu.utils.transfer import _probe_indices
+
+        a = _probe_indices(100000)
+        b = _probe_indices(100000)
+        assert not np.array_equal(a, b)
 
     def test_chunked_odd_shapes(self):
         # leading axis not divisible by the slice rows; 1-row arrays
