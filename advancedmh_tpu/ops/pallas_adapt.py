@@ -41,10 +41,16 @@ def _adapt_rwmh_kernel(
     gamma: float,
     mu: float,
     log_eps0: float,
+    resume: bool = False,
 ):
     const_refs = rest[:n_consts]
-    (x_ref, lp_ref, out_x_ref, out_lp_ref, out_acc_ref, out_eps_ref,
-     sx_ref, slp_ref, seps_ref) = rest[n_consts:]
+    if resume:
+        (x_ref, lp_ref, eps_in_ref, out_x_ref, out_lp_ref, out_acc_ref,
+         out_eps_ref, sx_ref, slp_ref, seps_ref) = rest[n_consts:]
+    else:
+        eps_in_ref = None
+        (x_ref, lp_ref, out_x_ref, out_lp_ref, out_acc_ref, out_eps_ref,
+         sx_ref, slp_ref, seps_ref) = rest[n_consts:]
     i = pl.program_id(0)
     g = pl.program_id(1)
     d, tc = x_ref.shape
@@ -64,40 +70,50 @@ def _adapt_rwmh_kernel(
             acc.astype(jnp.float32),
         )
 
-    # Group 0: warmup sweep with the HG14 update; freeze exp(log ε̄).
-    @pl.when(g == 0)
-    def _():
-        def da_update(t_i32, a, log_eps, leb, h_bar):
-            t = t_i32.astype(jnp.float32)
-            w = 1.0 / (t + t0)
-            h_bar = (1.0 - w) * h_bar + w * (target - a)
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            eta = jnp.exp(-kappa * jnp.log(t))  # t^(−κ), no powf
-            leb = eta * log_eps + (1.0 - eta) * leb
-            return log_eps, leb, h_bar
+    # Group 0 (resume): no warmup — the frozen per-chain ε̄ arrives as an
+    # input (a prior run's adapted values, staged by the launcher).
+    if resume:
+        @pl.when(g == 0)
+        def _():
+            sx_ref[:] = x_ref[:]
+            slp_ref[:] = lp_ref[:]
+            seps_ref[:] = eps_in_ref[:]
 
-        def one(t_i32, z, carry):
-            x, lp, log_eps, leb, h_bar = carry
-            x, lp, a = mh_step(x, lp, jnp.exp(log_eps), z)
-            log_eps, leb, h_bar = da_update(t_i32, a, log_eps, leb, h_bar)
-            return x, lp, log_eps, leb, h_bar
+    # Group 0 (fresh): warmup sweep with the HG14 update; freeze exp(log ε̄).
+    if not resume:
+        @pl.when(g == 0)
+        def _():
+            def da_update(t_i32, a, log_eps, leb, h_bar):
+                t = t_i32.astype(jnp.float32)
+                w = 1.0 / (t + t0)
+                h_bar = (1.0 - w) * h_bar + w * (target - a)
+                log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+                eta = jnp.exp(-kappa * jnp.log(t))  # t^(−κ), no powf
+                leb = eta * log_eps + (1.0 - eta) * leb
+                return log_eps, leb, h_bar
 
-        def pair(j, carry):
-            z1, z2 = _normal_pair((d, tc))
-            carry = one(2 * j + 1, z1, carry)
-            return one(2 * j + 2, z2, carry)
+            def one(t_i32, z, carry):
+                x, lp, log_eps, leb, h_bar = carry
+                x, lp, a = mh_step(x, lp, jnp.exp(log_eps), z)
+                log_eps, leb, h_bar = da_update(t_i32, a, log_eps, leb, h_bar)
+                return x, lp, log_eps, leb, h_bar
 
-        le0 = jnp.full((1, tc), log_eps0, jnp.float32)
-        carry = (x_ref[:], lp_ref[:], le0, le0,
-                 jnp.zeros((1, tc), jnp.float32))
-        carry = jax.lax.fori_loop(0, warmup // 2, pair, carry)
-        if warmup % 2:
-            z, _ = _normal_pair((d, tc))
-            carry = one(jnp.int32(warmup), z, carry)
-        x, lp, _, leb, _ = carry
-        sx_ref[:] = x
-        slp_ref[:] = lp
-        seps_ref[:] = jnp.exp(leb)
+            def pair(j, carry):
+                z1, z2 = _normal_pair((d, tc))
+                carry = one(2 * j + 1, z1, carry)
+                return one(2 * j + 2, z2, carry)
+
+            le0 = jnp.full((1, tc), log_eps0, jnp.float32)
+            carry = (x_ref[:], lp_ref[:], le0, le0,
+                     jnp.zeros((1, tc), jnp.float32))
+            carry = jax.lax.fori_loop(0, warmup // 2, pair, carry)
+            if warmup % 2:
+                z, _ = _normal_pair((d, tc))
+                carry = one(jnp.int32(warmup), z, carry)
+            x, lp, _, leb, _ = carry
+            sx_ref[:] = x
+            slp_ref[:] = lp
+            seps_ref[:] = jnp.exp(leb)
 
     # Emission: E thinned draws per grid step at the frozen per-chain ε̄.
     eps = seps_ref[:]
@@ -171,6 +187,7 @@ def fused_adapt_rwmh_sample(
     consts: Tuple[jax.Array, ...] = (),
     tile_chains: int = 1024,
     samples_per_block: int = 32,
+    resume: bool = False,
 ):
     """Build the fused dual-averaging RWMH engine.
 
@@ -178,6 +195,11 @@ def fused_adapt_rwmh_sample(
     lps (n_samples, 1, C), accepted (n_samples, 1, C), eps_final (1, C))``.
     ``warmup`` adaptation steps run first and are discarded (the HG14
     contract: post-warmup draws use the frozen averaged step size).
+
+    ``resume=True`` builds the frozen-continuation variant instead (fused
+    chunked resume, VERDICT r3 #4): no warmup runs; the call signature
+    gains a per-chain frozen step size — ``fn(x_T, lp, eps_bar (1, C),
+    seed)`` — staged from a prior run's adapted state by the launcher.
     """
     if mu is None:
         mu = math.log(10.0 * initial_step_size)
@@ -202,10 +224,12 @@ def fused_adapt_rwmh_sample(
         gamma=float(gamma),
         mu=float(mu),
         log_eps0=math.log(initial_step_size),
+        resume=resume,
     )
 
     @jax.jit
-    def run(params_t: jax.Array, lp: jax.Array, seed):
+    def run(params_t: jax.Array, lp: jax.Array, *rest):
+        *extra, seed = rest
         c = params_t.shape[1]
         if c % tile_chains != 0:
             raise ValueError(
@@ -232,6 +256,7 @@ def fused_adapt_rwmh_sample(
                 *[whole(cst) for cst in consts],
                 tiled_in(d),
                 tiled_in(1),
+                *([tiled_in(1)] if resume else []),
             ],
             out_specs=[
                 tiled_out(d), tiled_out(1), tiled_out(1),
@@ -251,7 +276,7 @@ def fused_adapt_rwmh_sample(
                 pltpu.VMEM((1, tile_chains), jnp.float32),
                 pltpu.VMEM((1, tile_chains), jnp.float32),
             ],
-        )(seed_arr, *consts, params_t, lp)
+        )(seed_arr, *consts, params_t, lp, *extra)
         return samples[:n_samples], lps[:n_samples], accs[:n_samples], eps
 
     return run

@@ -67,7 +67,6 @@ def halton_trips(ratio: int, n: int, max_leapfrog: int) -> Tuple[int, ...]:
 
 def _chees_frozen_kernel(
     seed_ref,  # (1, 1) int32 SMEM
-    eps_ref,  # (1, 1) f32 SMEM — frozen shared ε̄ (runtime value)
     *rest,
     logdensity_tile_fn: Callable,
     n_consts: int,
@@ -76,8 +75,8 @@ def _chees_frozen_kernel(
     n_groups: int,
 ):
     const_refs = rest[:n_consts]
-    (minv_ref, x_ref, lp_ref, g_ref, out_x_ref, out_lp_ref, out_acc_ref,
-     sx_ref, slp_ref, sg_ref) = rest[n_consts:]
+    (minv_ref, eps_ref, x_ref, lp_ref, g_ref, out_x_ref, out_lp_ref,
+     out_acc_ref, sx_ref, slp_ref, sg_ref) = rest[n_consts:]
     i = pl.program_id(0)
     g_id = pl.program_id(1)
     d, tc = x_ref.shape
@@ -85,7 +84,10 @@ def _chees_frozen_kernel(
     consts = tuple(c[:] for c in const_refs)
     minv = minv_ref[:]  # (d, 1) shared diagonal inverse mass
     inv_sqrt_minv = jax.lax.rsqrt(minv)
-    eps = eps_ref[0, 0]
+    # Frozen ε̄ as a (1, TC) lane vector (runtime value): shared for ChEES
+    # (a broadcast column), per-chain for pooled AdaptiveHMC (whose dual
+    # averaging is per-chain even when the mass is pooled).
+    eps = eps_ref[:]
     half_eps = 0.5 * eps
 
     pltpu.prng_seed(seed_ref[0, 0] + i * (n_groups + 1) + g_id)
@@ -164,9 +166,11 @@ def fused_chees_frozen_sample(
     ``trips`` is the static per-trajectory leapfrog schedule for one
     emission block (length ``samples_per_block·thin``, from
     :func:`halton_trips`); it repeats across blocks (period-E jitter).
-    Returns ``fn(x_T (d, C), lp (1, C), grad (d, C), eps (f32 scalar),
-    minv (d, 1), seed) -> (samples (n_samples, d, C), lps, accepted)``.
-    ``eps``/``minv`` are runtime values — only ``trips`` changes recompile.
+    Returns ``fn(x_T (d, C), lp (1, C), grad (d, C), eps, minv (d, 1),
+    seed) -> (samples (n_samples, d, C), lps, accepted)``. ``eps`` may be
+    a scalar (shared, the ChEES shape) or per-chain ``(C,)``/``(1, C)``
+    (pooled AdaptiveHMC, whose dual averaging is per-chain); both are
+    runtime values — only ``trips`` changes recompile (``minv`` too).
     """
     consts = tuple(
         jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
@@ -202,7 +206,9 @@ def fused_chees_frozen_sample(
             )
         grid = (c // tile_chains, n_groups)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-        eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+        eps_arr = jnp.broadcast_to(
+            jnp.asarray(eps, jnp.float32).reshape(1, -1), (1, c)
+        )
         minv_arr = jnp.asarray(minv, jnp.float32).reshape(d, 1)
         whole = lambda arr: pl.BlockSpec(
             arr.shape, lambda i, g: tuple(0 for _ in arr.shape),
@@ -220,9 +226,9 @@ def fused_chees_frozen_sample(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 *[whole(cst) for cst in consts],
                 whole(minv_arr),
+                tin(1),
                 tin(d),
                 tin(1),
                 tin(d),
@@ -238,7 +244,7 @@ def fused_chees_frozen_sample(
                 pltpu.VMEM((1, tile_chains), jnp.float32),
                 pltpu.VMEM((d, tile_chains), jnp.float32),
             ],
-        )(seed_arr, eps_arr, *consts, minv_arr, x_t, lp, grad)
+        )(seed_arr, *consts, minv_arr, eps_arr, x_t, lp, grad)
         return samples[:n_samples], lps[:n_samples], accs[:n_samples]
 
     return run

@@ -51,11 +51,18 @@ def _adaptive_hmc_kernel(
     log_eps0: float,
     mass_reg: float,
     mass_warm_start: int,
+    resume: bool = False,
 ):
     const_refs = rest[:n_consts]
-    (x_ref, lp_ref, g_ref, out_x_ref, out_lp_ref, out_acc_ref,
-     out_eps_ref, out_minv_ref,
-     sx_ref, slp_ref, sg_ref, seps_ref, sminv_ref) = rest[n_consts:]
+    if resume:
+        (x_ref, lp_ref, g_ref, eps_in_ref, minv_in_ref,
+         out_x_ref, out_lp_ref, out_acc_ref, out_eps_ref, out_minv_ref,
+         sx_ref, slp_ref, sg_ref, seps_ref, sminv_ref) = rest[n_consts:]
+    else:
+        eps_in_ref = minv_in_ref = None
+        (x_ref, lp_ref, g_ref, out_x_ref, out_lp_ref, out_acc_ref,
+         out_eps_ref, out_minv_ref,
+         sx_ref, slp_ref, sg_ref, seps_ref, sminv_ref) = rest[n_consts:]
     i = pl.program_id(0)
     g_id = pl.program_id(1)
     d, tc = x_ref.shape
@@ -109,41 +116,54 @@ def _adaptive_hmc_kernel(
         est = (nn / (nn + mass_reg)) * var + 1e-3 * (mass_reg / (nn + mass_reg))
         return jnp.where(n >= float(mass_warm_start), est, jnp.ones_like(m2))
 
-    # Group 0: joint (ε, M⁻¹) warmup; freeze (exp(log ε̄), regularized M⁻¹).
-    @pl.when(g_id == 0)
-    def _():
-        def one(t_i32, carry):
-            x, lp, grad, log_eps, leb, h_bar, mean, m2 = carry
-            t = t_i32.astype(jnp.float32)  # 1-indexed warmup step
-            minv = reg_minv(m2, t - 1.0)  # observations consumed so far
-            x, lp, grad, a = hmc_step(x, lp, grad, jnp.exp(log_eps), minv)
-            # HG14 dual averaging on the accept indicator.
-            w = 1.0 / (t + t0)
-            h_bar = (1.0 - w) * h_bar + w * (target - a)
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            eta = jnp.exp(-kappa * jnp.log(t))  # t^(−κ), no powf
-            leb = eta * log_eps + (1.0 - eta) * leb
-            # Welford advance with the post-step state (count becomes t).
-            delta = x - mean
-            mean = mean + delta / t
-            m2 = m2 + delta * (x - mean)
-            return x, lp, grad, log_eps, leb, h_bar, mean, m2
+    # Group 0 (resume): no warmup — frozen per-chain (ε̄, M⁻¹) arrive as
+    # inputs (a prior run's adapted values, staged by the launcher).
+    if resume:
+        @pl.when(g_id == 0)
+        def _():
+            sx_ref[:] = x_ref[:]
+            slp_ref[:] = lp_ref[:]
+            sg_ref[:] = g_ref[:]
+            seps_ref[:] = eps_in_ref[:]
+            sminv_ref[:] = minv_in_ref[:]
 
-        le0 = jnp.full((1, tc), log_eps0, jnp.float32)
-        carry = (
-            x_ref[:], lp_ref[:], g_ref[:], le0, le0,
-            jnp.zeros((1, tc), jnp.float32),
-            x_ref[:], jnp.zeros((d, tc), jnp.float32),
-        )
-        carry = jax.lax.fori_loop(
-            1, warmup + 1, one, carry
-        )
-        x, lp, grad, _, leb, _, _, m2 = carry
-        sx_ref[:] = x
-        slp_ref[:] = lp
-        sg_ref[:] = grad
-        seps_ref[:] = jnp.exp(leb)
-        sminv_ref[:] = reg_minv(m2, jnp.float32(warmup))
+    # Group 0 (fresh): joint (ε, M⁻¹) warmup; freeze (exp(log ε̄),
+    # regularized M⁻¹).
+    if not resume:
+        @pl.when(g_id == 0)
+        def _():
+            def one(t_i32, carry):
+                x, lp, grad, log_eps, leb, h_bar, mean, m2 = carry
+                t = t_i32.astype(jnp.float32)  # 1-indexed warmup step
+                minv = reg_minv(m2, t - 1.0)  # observations consumed so far
+                x, lp, grad, a = hmc_step(x, lp, grad, jnp.exp(log_eps), minv)
+                # HG14 dual averaging on the accept indicator.
+                w = 1.0 / (t + t0)
+                h_bar = (1.0 - w) * h_bar + w * (target - a)
+                log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+                eta = jnp.exp(-kappa * jnp.log(t))  # t^(−κ), no powf
+                leb = eta * log_eps + (1.0 - eta) * leb
+                # Welford advance with the post-step state (count becomes t).
+                delta = x - mean
+                mean = mean + delta / t
+                m2 = m2 + delta * (x - mean)
+                return x, lp, grad, log_eps, leb, h_bar, mean, m2
+
+            le0 = jnp.full((1, tc), log_eps0, jnp.float32)
+            carry = (
+                x_ref[:], lp_ref[:], g_ref[:], le0, le0,
+                jnp.zeros((1, tc), jnp.float32),
+                x_ref[:], jnp.zeros((d, tc), jnp.float32),
+            )
+            carry = jax.lax.fori_loop(
+                1, warmup + 1, one, carry
+            )
+            x, lp, grad, _, leb, _, _, m2 = carry
+            sx_ref[:] = x
+            slp_ref[:] = lp
+            sg_ref[:] = grad
+            seps_ref[:] = jnp.exp(leb)
+            sminv_ref[:] = reg_minv(m2, jnp.float32(warmup))
 
     # Emission groups: frozen (ε̄, M⁻¹) trajectories, E thinned draws each.
     eps = seps_ref[:]
@@ -192,9 +212,15 @@ def fused_adaptive_hmc_sample(
     consts: Tuple[jax.Array, ...] = (),
     tile_chains: int = 1024,
     samples_per_block: int = 16,
+    resume: bool = False,
 ):
     """Build the fused AdaptiveHMC engine (per-chain ε + diagonal-mass
     adaptation in VMEM).
+
+    ``resume=True`` builds the frozen-continuation variant (fused chunked
+    resume, VERDICT r3 #4): no warmup runs; the call signature gains the
+    frozen per-chain values — ``fn(x_T, lp, grad, eps_bar (1, C),
+    minv (d, C), seed)`` — staged from a prior run's adapted state.
 
     Returns ``fn(x_T (d, C), lp (1, C), grad (d, C), seed) -> (samples
     (n_samples, d, C), lps (n_samples, 1, C), accepted (n_samples, 1, C),
@@ -235,10 +261,12 @@ def fused_adaptive_hmc_sample(
         log_eps0=math.log(initial_step_size),
         mass_reg=float(mass_regularization),
         mass_warm_start=int(mass_warm_start),
+        resume=resume,
     )
 
     @jax.jit
-    def run(x_t, lp, grad, seed):
+    def run(x_t, lp, grad, *rest):
+        *extra, seed = rest
         c = x_t.shape[1]
         if c % tile_chains != 0:
             raise ValueError(
@@ -269,6 +297,7 @@ def fused_adaptive_hmc_sample(
                 tin(d),
                 tin(1),
                 tin(d),
+                *([tin(1), tin(d)] if resume else []),
             ],
             out_specs=[
                 tout(d), tout(1), tout(1), lane_out(1), lane_out(d),
@@ -287,7 +316,7 @@ def fused_adaptive_hmc_sample(
                 pltpu.VMEM((1, tile_chains), jnp.float32),
                 pltpu.VMEM((d, tile_chains), jnp.float32),
             ],
-        )(seed_arr, *consts, x_t, lp, grad)
+        )(seed_arr, *consts, x_t, lp, grad, *extra)
         return (
             samples[:n_samples], lps[:n_samples], accs[:n_samples], eps, minv
         )

@@ -101,6 +101,21 @@ def _shard_fused(run, mesh, axis: str):
     return wrapped
 
 
+def _chain_constrainer(mesh, axis: str):
+    """Sharding-constrain every leaf of a chain-leading state pytree over
+    the mesh (identity without a mesh). Used by the two-stage engines so
+    their XLA warmup runs sharded like the XLA engine (pooled reductions →
+    psum over ICI) instead of concentrating on one device."""
+    if mesh is None:
+        return lambda s: s
+    from ..parallel.mesh import chain_sharding
+
+    ws = chain_sharding(mesh, axis)
+    return lambda s: jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, ws), s
+    )
+
+
 def _fused_tiling(
     num_chains: int, max_tile: int, mesh, axis: str,
     d: int = 2, vmem_budget: int = 4 << 20,
@@ -555,51 +570,151 @@ def sample_fused_adaptive_hmc(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 1024,
+    initial_state=None,
     mesh=None,
     mesh_axis: str = "chains",
 ):
-    """Fused AdaptiveHMC engine (ops/pallas_hmc_adapt.py): joint per-chain
-    (ε, diag M⁻¹) warmup + frozen trajectory sampling in VMEM. Per-chain
-    adaptation only — ``pooled=True`` reduces across grid tiles and stays
-    on the XLA engine. Requires the standard ``discard_initial ==
-    num_warmup`` schedule (≙ sample_fused_adapt_rwmh).
+    """Fused AdaptiveHMC engine: joint (ε, diag M⁻¹) warmup + frozen
+    trajectory sampling.
 
-    The returned ``final_state`` supports **frozen (post-warmup)
+    Two shapes, matching the sampler's adaptation mode:
+
+    - **Per-chain** (``pooled=False``): the whole schedule runs in one
+      VMEM-resident launch (ops/pallas_hmc_adapt.py) — per-chain
+      dual-averaged ε and per-chain Welford mass adapt in-kernel, then the
+      frozen phase emits.
+    - **Pooled** (``pooled=True``): two-stage ≙ :func:`sample_fused_chees`
+      (VERDICT r3 #5) — the cross-chain pooled Welford warmup runs on the
+      XLA engine (its chain-axis reductions span grid tiles), the shared
+      frozen (ε̄, M⁻¹) are host-staged, and the frozen phase runs on the
+      ChEES frozen kernel with a constant leapfrog schedule (trips =
+      ``n_leapfrog`` — AdaptiveHMC has no trajectory jitter).
+
+    Requires the standard ``discard_initial == num_warmup`` schedule
+    (≙ sample_fused_adapt_rwmh).
+
+    ``initial_state`` (a frozen ``AdaptiveHMCState``) resumes post-warmup
+    under the chunk-resume schedule (``num_warmup=0``,
+    ``discard_initial=thinning``): per-chain states stage the frozen
+    (ε̄, M⁻¹) back into the resume kernel variant; pooled (replicated)
+    states re-stage the shared scalars onto the frozen kernel.
+
+    A fresh per-chain ``final_state`` supports **frozen (post-warmup)
     continuation only**: the kernel does not export the Welford running
     mean or the dual-averaging error sum, so the reconstruction uses
     ``mean = last position`` and ``h_bar = 0`` (with M2 inverted from the
     frozen M⁻¹ so a frozen-phase regularized estimate reproduces it
     exactly). An XLA-engine resume that *continues warmup* from this state
     (``num_warmup > 0``) would adapt from those inconsistent statistics —
-    resume with ``num_warmup=0``."""
+    resume with ``num_warmup=0``. Pooled final states carry the complete
+    XLA warmup statistics (≙ fused ChEES)."""
     from ..ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
     from ..samplers.base import GradientTransition
     from ..samplers.hmc_adapt import AdaptiveHMCState
+    from ..utils import replace as _replace
 
-    if sampler.pooled:
-        raise ValueError(
-            "engine='fused' AdaptiveHMC is per-chain only (the pooled "
-            "cross-chain Welford merge spans grid tiles); use the XLA "
-            "engine for pooled=True."
-        )
-    if discard_initial != num_warmup:
-        raise ValueError(
-            "fused AdaptiveHMC supports the standard schedule "
-            "discard_initial == num_warmup; use the XLA path to keep "
-            "warmup draws."
-        )
-    if num_warmup < 1:
-        raise ValueError("fused AdaptiveHMC requires num_warmup >= 1")
-    if initial_params is None:
-        raise ValueError("please specify initial parameters")
-    d = model.dimension
-    if d is None:
-        d = int(np.asarray(initial_params).shape[-1])
+    resume = initial_state is not None
+    if resume:
+        if num_warmup != 0 or discard_initial != thinning:
+            raise ValueError(
+                "fused AdaptiveHMC resume expects the chunk-resume "
+                "schedule (num_warmup=0, discard_initial=thinning)."
+            )
+        d = model.dimension
+        if d is None:
+            d = int(np.asarray(initial_state.inner.params).shape[-1])
+    else:
+        if discard_initial != num_warmup:
+            raise ValueError(
+                "fused AdaptiveHMC supports the standard schedule "
+                "discard_initial == num_warmup; use the XLA path to keep "
+                "warmup draws."
+            )
+        if num_warmup < 1:
+            raise ValueError("fused AdaptiveHMC requires num_warmup >= 1")
+        if initial_params is None:
+            raise ValueError("please specify initial parameters")
+        d = model.dimension
+        if d is None:
+            d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
+    const_args = tuple(jnp.asarray(c) for c in consts)
     c_pad, tile = _fused_tiling(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
+    C = num_chains
 
+    if sampler.pooled:
+        # -- pooled: two-stage (XLA pooled warmup → shared frozen kernel) --
+        from ..ops.pallas_chees import fused_chees_frozen_sample
+
+        if resume:
+            wstate = initial_state
+        else:
+            init = jnp.asarray(initial_params, jnp.float32)
+            init_b = (
+                jnp.broadcast_to(init, (num_chains, d))
+                if init.ndim == 1
+                else init
+            )
+            constrain = _chain_constrainer(mesh, mesh_axis)
+
+            @jax.jit
+            def warm(k):
+                _, state = jax.vmap(
+                    lambda kk, x0: sampler.init(kk, model, x0)
+                )(jax.random.split(k, num_chains), init_b)
+                state = constrain(state)
+
+                def body(s, j):
+                    _, s = sampler.step_warmup_batched(
+                        jax.random.fold_in(k, j), s, model, (num_chains,)
+                    )
+                    return s, None
+
+                state, _ = jax.lax.scan(
+                    body, state, jnp.arange(1, num_warmup + 1)
+                )
+                return state
+
+            wstate = warm(key)
+
+        eps_row, minv_col, x_t, lp0, g_t = _ahmc_pooled_stage(wstate, d)
+        E = min(16, n_samples)
+        L = int(sampler.n_leapfrog)
+        base = fused_chees_frozen_sample(
+            tile_fn, d, n_samples, trips=(L,) * (E * thinning),
+            thin=thinning, consts=consts, tile_chains=tile,
+            samples_per_block=E,
+        )
+        # ε̄ is per-chain (pooled AdaptiveHMC dual-averages per chain), so
+        # it travels as an explicit argument — _shard_fused shards it with
+        # the chains; the shared M⁻¹ column stays a closed-over constant.
+        run = lambda x, l, g, e, seed: base(x, l, g, e, minv_col, seed)
+        if mesh is not None:
+            run = _shard_fused(run, mesh, mesh_axis)
+        run = _pad_chains(run, num_chains, c_pad)
+        seed = jax.random.randint(
+            jax.random.fold_in(key, num_warmup + 1), (), 0, 2**31 - 1,
+            dtype=jnp.int32,
+        )
+        samples, lps, accs = run(x_t, lp0, g_t, eps_row, seed)
+        _fence_launch(samples)
+
+        params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+        lp = jnp.transpose(lps[:, 0, :], (1, 0))
+        accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+        transitions = Transition(params, lp, accepted)
+        grad_last_t = jax.grad(
+            lambda xm: jnp.sum(tile_fn(xm, *const_args))
+        )(jnp.transpose(params[:, -1, :]))
+        inner = GradientTransition(
+            params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t),
+            accepted[:, -1],
+        )
+        return transitions, _replace(wstate, inner=inner)
+
+    # -- per-chain: single launch (fresh) or resume kernel variant --------
     run = fused_adaptive_hmc_sample(
         tile_fn, d=d, n_samples=n_samples, warmup=num_warmup,
         n_leapfrog=int(sampler.n_leapfrog), thin=thinning,
@@ -609,22 +724,40 @@ def sample_fused_adaptive_hmc(
         mu=sampler.mu,
         mass_regularization=sampler.mass_regularization,
         mass_warm_start=sampler.mass_warm_start,
-        consts=consts, tile_chains=tile,
+        consts=consts, tile_chains=tile, resume=resume,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)
-    init = jnp.asarray(initial_params, jnp.float32)
-    x_t = (
-        jnp.broadcast_to(init[:, None], (d, num_chains))
-        if init.ndim == 1
-        else jnp.asarray(init).T
-    )
-    const_args = tuple(jnp.asarray(c) for c in consts)
-    lp0 = tile_fn(x_t, *const_args)
-    g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+    if resume:
+        x_t = jnp.transpose(
+            jnp.asarray(initial_state.inner.params, jnp.float32)
+        )
+        lp0 = jnp.asarray(initial_state.inner.lp, jnp.float32)[None, :]
+        g0 = jnp.transpose(
+            jnp.asarray(initial_state.inner.gradient, jnp.float32)
+        )
+        inv_mass_leaf = jax.tree_util.tree_leaves(
+            initial_state.inverse_mass
+        )[0]
+        extra = (
+            jnp.exp(
+                jnp.asarray(initial_state.log_eps_bar, jnp.float32)
+            )[None, :],
+            jnp.transpose(jnp.asarray(inv_mass_leaf, jnp.float32)),
+        )
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+        lp0 = tile_fn(x_t, *const_args)
+        g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+        extra = ()
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-    samples, lps, accs, eps_final, minv_final = run(x_t, lp0, g0, seed)
+    samples, lps, accs, eps_final, minv_final = run(x_t, lp0, g0, *extra, seed)
     _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
@@ -638,7 +771,9 @@ def sample_fused_adaptive_hmc(
         params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t),
         accepted[:, -1],
     )
-    C = num_chains
+    if resume:
+        # Frozen continuation: the saved statistics carry through.
+        return transitions, _replace(initial_state, inner=inner)
     log_eps = jnp.log(eps_final[0])  # (C,)
     inv_mass = jnp.transpose(minv_final)  # (C, d)
     # Reconstruct Welford M2 so an XLA-resumed chunk's regularized estimate
@@ -709,6 +844,42 @@ def chees_frozen_stage(sampler, wstate, d: int):
     lp0 = wstate.inner.lp[None, :]
     g_t = jnp.transpose(wstate.inner.gradient)
     return ratio, jnp.float32(eps_bar), minv_col, x_t, lp0, g_t
+
+
+def _ahmc_pooled_stage(wstate, d: int):
+    """Host-stage the frozen launch of a *pooled* AdaptiveHMC warmup state:
+    the per-chain frozen ε̄ row (pooled AdaptiveHMC pools the MASS but
+    dual-averages ε per chain — samplers/hmc_adapt.py::step_warmup_batched),
+    the shared inverse-mass column, and the transposed state arrays
+    (≙ :func:`chees_frozen_stage`, minus the trajectory ratio —
+    AdaptiveHMC's leapfrog count is a sampler constant).
+
+    Guards against a per-chain-adapted MASS: the frozen kernel applies ONE
+    M⁻¹ column to every chain, which is only correct for the replicated
+    estimate the pooled Welford merge produces."""
+    minv_leaf = jnp.asarray(
+        jax.tree_util.tree_leaves(wstate.inverse_mass)[0]
+    )
+    if minv_leaf.ndim > 1:
+        spread = jnp.max(jnp.max(minv_leaf, 0) - jnp.min(minv_leaf, 0))
+        if float(spread) > 1e-5:
+            raise ValueError(
+                "fused pooled AdaptiveHMC needs a replicated (shared) "
+                "inverse-mass estimate, but this state carries per-chain "
+                f"values (spread {float(spread):.3g}) - it was warmed "
+                "per-chain (pooled=False or the single-chain fallback). "
+                "Use the XLA engine for it."
+            )
+    eps_row = jnp.exp(
+        jnp.asarray(wstate.log_eps_bar, jnp.float32).reshape(1, -1)
+    )  # (1, C) per-chain frozen step sizes
+    minv_col = (
+        minv_leaf[0] if minv_leaf.ndim > 1 else minv_leaf
+    ).reshape(d, 1)
+    x_t = jnp.transpose(wstate.inner.params)  # (d, C)
+    lp0 = wstate.inner.lp[None, :]
+    g_t = jnp.transpose(wstate.inner.gradient)
+    return eps_row, minv_col, x_t, lp0, g_t
 
 
 def sample_fused_chees(
@@ -807,15 +978,7 @@ def sample_fused_chees(
             if init.ndim == 1
             else init
         )
-        if mesh is not None:
-            from ..parallel.mesh import chain_sharding
-
-            _ws = chain_sharding(mesh, mesh_axis)
-            constrain = lambda s: jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, _ws), s
-            )
-        else:
-            constrain = lambda s: s
+        constrain = _chain_constrainer(mesh, mesh_axis)
 
         @jax.jit
         def warm(k):
@@ -1542,6 +1705,7 @@ def sample_fused_adapt_rwmh(
     discard_initial: int,
     thinning: int,
     tile_chains: int = 1024,
+    initial_state=None,
     mesh=None,
     mesh_axis: str = "chains",
 ):
@@ -1552,12 +1716,19 @@ def sample_fused_adapt_rwmh(
     the standard schedule ``discard_initial == num_warmup`` (warmup draws
     are adaptation transients — the XLA engine keeps them if needed).
 
+    ``initial_state`` (a frozen ``StepSizeAdaptationState``, e.g. a prior
+    chunk's ``final_state``) resumes post-warmup: the per-chain frozen
+    ε̄ = exp(log ε̄) is staged back into the kernel (the resume variant of
+    ops/pallas_adapt.py) and no warmup runs. Requires the chunk-resume
+    schedule (``num_warmup=0``, ``discard_initial=thinning``, ≙ fused RAM).
+
     Schedule note (≙ sample_fused_ram): sample k is the state after
     ``num_warmup + k·thinning`` steps; equal in distribution to the XLA
     schedule, offset by one thinning stride in absolute step labels."""
     from ..ops.pallas_adapt import fused_adapt_rwmh_sample
     from ..samplers.adapt import StepSizeAdaptationState
     from ..samplers.base import Transition
+    from ..utils import replace as _replace
 
     fam = getattr(sampler, "_fused_family", None)
     if not (isinstance(fam, tuple) and fam and fam[0] == "rwmh_iso"):
@@ -1566,13 +1737,20 @@ def sample_fused_adapt_rwmh(
             "StepSizeAdaptation.rwmh(d) family (general make_sampler "
             "closures cannot be introspected); use the XLA engine instead."
         )
-    if discard_initial != num_warmup:
+    resume = initial_state is not None
+    if resume:
+        if num_warmup != 0 or discard_initial != thinning:
+            raise ValueError(
+                "fused StepSizeAdaptation resume expects the chunk-resume "
+                "schedule (num_warmup=0, discard_initial=thinning)."
+            )
+    elif discard_initial != num_warmup:
         raise ValueError(
             "fused StepSizeAdaptation supports the standard schedule "
             "discard_initial == num_warmup; use the XLA path to keep "
             "warmup draws."
         )
-    if initial_params is None:
+    if initial_params is None and not resume:
         raise ValueError("engine='fused' requires initial_params")
     d = fam[1]
     tile_fn, consts = _tile_density_of(model)
@@ -1583,21 +1761,33 @@ def sample_fused_adapt_rwmh(
         initial_step_size=sampler.initial_step_size,
         target_accept=sampler.target_accept,
         t0=sampler.t0, kappa=sampler.kappa, gamma=sampler.gamma,
-        mu=sampler.mu, consts=consts, tile_chains=tile,
+        mu=sampler.mu, consts=consts, tile_chains=tile, resume=resume,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)
-    init = jnp.asarray(initial_params, jnp.float32)
-    x_t = (
-        jnp.broadcast_to(init[:, None], (d, num_chains))
-        if init.ndim == 1
-        else jnp.asarray(init).T
-    )
     const_args = tuple(jnp.asarray(c) for c in consts)
-    lp0 = tile_fn(x_t, *const_args)
+    if resume:
+        x_t = jnp.transpose(
+            jnp.asarray(initial_state.inner.params, jnp.float32)
+        )
+        lp0 = jnp.asarray(initial_state.inner.lp, jnp.float32)[None, :]
+        extra = (
+            jnp.exp(
+                jnp.asarray(initial_state.log_eps_bar, jnp.float32)
+            )[None, :],
+        )
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+        lp0 = tile_fn(x_t, *const_args)
+        extra = ()
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-    samples, lps, accs, eps_final = run(x_t, lp0, seed)
+    samples, lps, accs, eps_final = run(x_t, lp0, *extra, seed)
     _fence_launch(samples)
 
     params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
@@ -1605,12 +1795,18 @@ def sample_fused_adapt_rwmh(
     accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
     transitions = Transition(params, lp, accepted)
     C = num_chains
-    log_eps = jnp.log(eps_final[0])  # (C,)
-    final_state = StepSizeAdaptationState(
-        inner=Transition(params[:, -1, :], lp[:, -1], accepted[:, -1]),
-        log_eps=log_eps,
-        log_eps_bar=log_eps,
-        h_bar=jnp.zeros((C,), jnp.float32),
-        t=jnp.full((C,), num_warmup + 1, jnp.int32),
-    )
+    inner = Transition(params[:, -1, :], lp[:, -1], accepted[:, -1])
+    if resume:
+        # Frozen continuation: the saved dual-averaging statistics carry
+        # through untouched; only the inner transition advances.
+        final_state = _replace(initial_state, inner=inner)
+    else:
+        log_eps = jnp.log(eps_final[0])  # (C,)
+        final_state = StepSizeAdaptationState(
+            inner=inner,
+            log_eps=log_eps,
+            log_eps_bar=log_eps,
+            h_bar=jnp.zeros((C,), jnp.float32),
+            t=jnp.full((C,), num_warmup + 1, jnp.int32),
+        )
     return transitions, final_state

@@ -438,6 +438,7 @@ def sample(
         resume_am = None
         resume_re = None
         resume_chees = None
+        resume_adapt = None
         if initial_state is not None:
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
@@ -448,12 +449,11 @@ def sample(
             elif isinstance(sampler, _RE):
                 resume_re = initial_state
             elif isinstance(sampler, (_SSA, _AHMC)):
-                raise NotImplementedError(
-                    "engine='fused' StepSizeAdaptation/AdaptiveHMC does not "
-                    "resume from a saved state (the frozen per-chain ε̄/M⁻¹ "
-                    "would reset); use the XLA engine for chunked/resumed "
-                    "runs."
-                )
+                # Frozen-continuation resume (VERDICT r3 #4): the saved
+                # per-chain ε̄ (and M⁻¹) are staged back into the resume
+                # kernel variants; pooled AdaptiveHMC states re-stage the
+                # shared scalars onto the frozen kernel.
+                resume_adapt = initial_state
             elif isinstance(sampler, _ChEES):
                 resume_chees = initial_state
             else:
@@ -493,6 +493,7 @@ def sample(
                 num_warmup=schedule.num_warmup,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                initial_state=resume_adapt,
                 **mesh_kw,
             )
         elif isinstance(sampler, RobustAdaptiveMetropolis):
@@ -573,6 +574,7 @@ def sample(
                 num_warmup=schedule.num_warmup,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                initial_state=resume_adapt,
                 **mesh_kw,
             )
         elif isinstance(sampler, _HMC):

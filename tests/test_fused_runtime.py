@@ -170,14 +170,6 @@ class TestFusedDispatchGuards:
 
         return correlated_gaussian_model(np.eye(2, dtype=np.float32))
 
-    def test_adaptive_hmc_pooled_rejected(self):
-        from advancedmh_tpu import AdaptiveHMC, sample
-
-        with pytest.raises(ValueError, match="pooled"):
-            sample(self._model(), AdaptiveHMC(pooled=True), 10, key=0,
-                   num_chains=1024, engine="fused", num_warmup=20,
-                   discard_initial=20, initial_params=jnp.zeros(2))
-
     def test_adaptive_hmc_schedule_rejected(self):
         from advancedmh_tpu import AdaptiveHMC, sample
 
@@ -186,16 +178,51 @@ class TestFusedDispatchGuards:
                    engine="fused", num_warmup=20, discard_initial=0,
                    initial_params=jnp.zeros(2))
 
-    def test_adaptive_hmc_resume_rejected(self):
+    def test_adaptive_hmc_resume_needs_chunk_schedule(self):
+        """Fused AdaptiveHMC resume is supported (r4: the frozen per-chain
+        (ε̄, M⁻¹) are staged back into the resume kernel variant) but only
+        under the chunk-resume schedule — anything else raises before a
+        kernel compiles."""
         from advancedmh_tpu import AdaptiveHMC, sample
 
         spl = AdaptiveHMC(n_leapfrog=3)
         res = sample(self._model(), spl, 5, key=0, num_chains=4,
                      num_warmup=10, discard_initial=10,
                      initial_params=jnp.zeros(2))
-        with pytest.raises(NotImplementedError, match="AdaptiveHMC"):
+        with pytest.raises(ValueError, match="chunk-resume"):
             sample(self._model(), spl, 5, key=0, num_chains=4,
-                   engine="fused", initial_state=res.final_state)
+                   engine="fused", initial_state=res.final_state,
+                   num_warmup=3, discard_initial=3)
+
+    def test_adapt_rwmh_resume_needs_chunk_schedule(self):
+        from advancedmh_tpu import StepSizeAdaptation, sample
+
+        spl = StepSizeAdaptation.rwmh(2)
+        res = sample(self._model(), spl, 5, key=0, num_chains=4,
+                     num_warmup=10, discard_initial=10,
+                     initial_params=jnp.zeros(2))
+        with pytest.raises(ValueError, match="chunk-resume"):
+            sample(self._model(), spl, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state,
+                   num_warmup=3, discard_initial=3)
+
+    def test_pooled_adaptive_hmc_per_chain_state_rejected(self):
+        """The pooled two-stage engine (r4) stages ONE shared (ε̄, M⁻¹)
+        onto the frozen kernel; resuming it from a per-chain-adapted state
+        must raise, not silently collapse to chain 0's values."""
+        from advancedmh_tpu import AdaptiveHMC, sample
+
+        per_chain = AdaptiveHMC(n_leapfrog=3)  # pooled=False warmup
+        res = sample(self._model(), per_chain, 5, key=0, num_chains=4,
+                     num_warmup=25, discard_initial=25,
+                     initial_params=jnp.asarray([[0.1, -0.2], [0.4, 0.3],
+                                                 [-0.5, 0.2], [0.2, 0.6]]),
+                     initial_params_batched=True)
+        pooled = AdaptiveHMC(n_leapfrog=3, pooled=True)
+        with pytest.raises(ValueError, match="replicated"):
+            sample(self._model(), pooled, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state,
+                   num_warmup=0, discard_initial=1)
 
     def test_hmc_multinomial_rejected(self):
         from advancedmh_tpu import HamiltonianMC, sample
