@@ -1,11 +1,15 @@
-"""Fused ChEES-HMC frozen-phase engine (Pallas/TPU).
+"""Fused ChEES-HMC engines (Pallas/TPU): warmup + frozen phase.
 
-The post-warmup half of :class:`samplers.chees.ChEESHMC` — frozen shared
-(ε̄, T̄, diag M⁻¹), jittered trajectory length per draw — as a VMEM-resident
-kernel. The warmup half stays on the XLA engine on purpose: its cross-chain
-pooled statistics (ChEES gradient, mean acceptance, pooled Welford) reduce
-over the *whole* chain batch, which spans grid tiles; the frozen phase has
-no cross-chain coupling at all, so it fuses cleanly.
+Both halves of :class:`samplers.chees.ChEESHMC` as VMEM-resident kernels:
+
+- **Warmup** (r4, ``_chees_warmup_kernel``): per-STEP live adaptation —
+  dual-averaged ε, Adam on log T, pooled Welford mass — with every
+  cross-chain statistic computed exactly over each ≥1024-chain tile
+  (tile-local pooling; the launcher merges tiles afterwards). One launch
+  for the whole warmup: each kernel launch costs ~24 ms of fixed dispatch
+  through the axon tunnel, which dominates any multi-launch scheme.
+- **Frozen phase** (``_chees_frozen_kernel``): frozen shared (ε̄, T̄,
+  diag M⁻¹), jittered trajectory length per draw.
 
 **Host-staged static trajectory schedule** (the TPU-native move): the XLA
 path draws the trajectory jitter ``u ~ U(0,1)`` per iteration and runs a
@@ -36,6 +40,7 @@ in-kernel ``jax.vjp`` gradients, accept flags as f32, static trip counts).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -148,6 +153,417 @@ def _chees_frozen_kernel(
     sx_ref[:] = x
     slp_ref[:] = lp
     sg_ref[:] = grad
+
+
+def _chees_adapt_step(
+    value_and_grad, L, u, carry, *,
+    target, t0, kappa, gamma, mu, lr, b1, b2, log_b1, log_b2,
+    max_leapfrog, welford, mass_reg, mass_warm_start,
+):
+    """One ChEES warmup step on a chain tile: jittered trajectory (static
+    ``L`` trips), MH accept, then per-step live adaptation — dual-averaged
+    ε, Adam on log T (tile-exact acceptance-weighted ChEES gradient), and
+    (``welford=True``) per-tile pooled Welford mass. Shared by the warmup
+    block kernel (mass frozen per launch) and the combined warmup+frozen
+    kernel (live per-tile mass, needed because its frozen phase starts in
+    the same launch). Carry layout: ``(x, lp, grad, le, leb, hb, lT, lTb,
+    am, av, t, n, mean, m2, minv, sum1, sum2, acc_f)``."""
+    (x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
+     mean, m2, minv, sum1, sum2, acc_f) = carry
+    d, tc = x.shape
+    C = float(tc)
+    # Mosaic can't broadcast (1,1) into (d, TC) in one op ("broadcast in
+    # both sublanes and lanes") — and a bare broadcast_to gets folded
+    # away. Broadcasting BEFORE the exp materializes ε as a genuine
+    # (1, TC) lane row, so every leapfrog op broadcasts along one axis
+    # only.
+    eps_row = jnp.exp(jnp.broadcast_to(le, (1, tc)))
+    half_eps_row = 0.5 * eps_row
+    z, _ = _normal_pair((d, tc))
+    p0 = z * jax.lax.rsqrt(minv)
+    kin0 = 0.5 * jnp.sum(p0 * p0 * minv, axis=0, keepdims=True)
+
+    def lf(_, c):
+        x_, p_, lp_, g_ = c
+        p_ = p_ + half_eps_row * g_
+        x_ = x_ + eps_row * (minv * p_)
+        lp_, g_ = value_and_grad(x_)
+        p_ = p_ + half_eps_row * g_
+        return x_, p_, lp_, g_
+
+    y, p1, lp_y, g_y = jax.lax.fori_loop(0, L, lf, (x, p0, lp, grad))
+    logalpha = (
+        lp_y - 0.5 * jnp.sum(p1 * p1 * minv, axis=0, keepdims=True)
+    ) - (lp - kin0)
+    evar = -jnp.log(_uniform_from_bits(pltpu.prng_random_bits((1, tc))))
+    accept = evar > -logalpha
+    maskd = jnp.broadcast_to(accept, (d, tc))
+    x_new = jnp.where(maskd, y, x)
+    lp_new = jnp.where(accept, lp_y, lp)
+    g_new = jnp.where(maskd, g_y, grad)
+    acc_f = accept.astype(jnp.float32)
+
+    # Acceptance probability; non-finite logα (divergence) counts as 0
+    # (|nan| < 1e30 and |−inf| < 1e30 are both False — ≙ the XLA engine's
+    # isfinite guard, samplers/chees.py).
+    w = jnp.where(
+        jnp.abs(logalpha) < 1e30,
+        jnp.exp(jnp.minimum(logalpha, 0.0)),
+        0.0,
+    )
+    # Healthy mask (≙ samplers/chees.py::_chees_grad): exclude diverged/
+    # astronomical endpoints before the centering means.
+    healthy = (
+        jnp.max(
+            jnp.abs(jnp.concatenate([y, p1], axis=0)),
+            axis=0, keepdims=True,
+        ) < 1e10
+    )
+    hf = healthy.astype(jnp.float32)
+    # ---- merged cross-lane reductions, round 1 ----
+    cat1 = jnp.concatenate(
+        [w, hf, jnp.where(healthy, x, 0.0), jnp.where(healthy, y, 0.0)],
+        axis=0,
+    )  # (2 + 2d, tc)
+    s1 = jnp.sum(cat1, axis=1, keepdims=True)
+    w_mean = s1[0:1] / C
+    cnt = jnp.maximum(s1[1:2], 1.0)
+    mean0c = s1[2:2 + d] / cnt
+    mean1c = s1[2 + d:2 + 2 * d] / cnt
+    # ε: dual averaging on the tile's mean acceptance.
+    wgt = 1.0 / (t + t0)
+    hb = (1.0 - wgt) * hb + wgt * (target - w_mean)
+    le = mu - jnp.sqrt(t) / gamma * hb
+    eta = jnp.exp(-kappa * jnp.log(t))  # t^(−κ), no powf
+    leb = eta * le + (1.0 - eta) * leb
+    # T: Adam ascent on the acceptance-weighted ChEES gradient.
+    x0c = x - mean0c
+    x1c = y - mean1c
+    delta = jnp.sum(x1c * x1c, axis=0, keepdims=True) - jnp.sum(
+        x0c * x0c, axis=0, keepdims=True
+    )
+    dot = jnp.sum(x1c * (p1 * minv), axis=0, keepdims=True)
+    contrib = w * delta * dot * hf
+    contrib = jnp.where(jnp.abs(contrib) < 1e30, contrib, 0.0)
+    # ---- merged cross-lane reductions, round 2: ChEES gradient pieces +
+    # this step's raw position moments ----
+    cat2 = jnp.concatenate(
+        [contrib, w * hf, x_new, x_new * x_new], axis=0
+    )  # (2 + 2d, tc)
+    s2 = jnp.sum(cat2, axis=1, keepdims=True)
+    num = s2[0:1]
+    den = jnp.maximum(s2[1:2], 1e-6)
+    step_sx = s2[2:2 + d]
+    step_sx2 = s2[2 + d:2 + 2 * d]
+    sum1 = sum1 + step_sx
+    sum2 = sum2 + step_sx2
+    traj_len = u * jnp.exp(lT)
+    gT = jnp.clip(traj_len * num / den, -1e6, 1e6)
+    am = b1 * am + (1.0 - b1) * gT
+    av = b2 * av + (1.0 - b2) * gT * gT
+    m_hat = am / (1.0 - jnp.exp(t * log_b1))
+    v_hat = av / (1.0 - jnp.exp(t * log_b2))
+    eps_now = jnp.exp(le)
+    lT = lT + lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+    lT = jnp.clip(
+        lT,
+        jnp.log(eps_now),
+        math.log(float(max_leapfrog)) + jnp.log(eps_now),
+    )
+    lTb = eta * lT + (1.0 - eta) * lTb
+    if welford:
+        # Per-tile pooled Welford advance from this step's batch moments
+        # (Chan–Golub–LeVeque; ≙ samplers/chees.py::_welford_pooled).
+        b_mean = step_sx / C
+        m2_b = step_sx2 - step_sx * step_sx / C
+        n_new = n + C
+        dlt = b_mean - mean
+        mean = mean + (C / n_new) * dlt
+        m2 = m2 + m2_b + (n * C / n_new) * dlt * dlt
+        n = n_new
+        var = m2 / jnp.maximum(n - 1.0, 1.0)
+        est = (n / (n + mass_reg)) * var + 1e-3 * (
+            mass_reg / (n + mass_reg)
+        )
+        minv = jnp.where(n >= mass_warm_start, est, minv)
+    t = t + 1.0
+    return (x_new, lp_new, g_new, le, leb, hb, lT, lTb, am, av, t, n,
+            mean, m2, minv, sum1, sum2, acc_f)
+
+
+def _chees_warmup_kernel(
+    seed_ref,  # (1, 1) int32 SMEM
+    *rest,
+    logdensity_tile_fn: Callable,
+    n_consts: int,
+    trips: Tuple[int, ...],  # static per-group trip schedule, length E
+    us: Tuple[float, ...],  # static jitter fractions behind ``trips``
+    n_groups: int,
+    target: float,
+    t0: float,
+    kappa: float,
+    gamma: float,
+    mu: float,
+    lr: float,
+    b1: float,
+    b2: float,
+    max_leapfrog: int,
+    adapt_mass: bool,
+    mass_reg: float,
+    mass_warm_start: float,
+):
+    """Fused ChEES warmup block: E·n_groups adaptation steps per chain
+    tile. Every adaptation statistic — mean acceptance, ChEES centering
+    means, Welford mass — updates per STEP with live values, computed
+    exactly over the tile's chains (tile-local pooling; a ≥1024-chain tile
+    gives far lower-variance statistics than the ChEES paper's ~100-chain
+    batches). Tiles adapt independently within a launch and the launcher
+    re-synchronizes them between launches (averaged scalars + exact
+    cross-tile Welford merge from the emitted batch moments) — the
+    "short fused blocks + tiny XLA combine" design of VERDICT r4 #1.
+    Only the leapfrog trip counts are static (staged by the launcher from
+    block-start T/ε — the one quantization this design trades for fully
+    static control flow). Tile width is VMEM-bound by the DENSITY's
+    per-eval intermediates (e.g. an (n_obs, TC) broadcast), not by the
+    state: a single-tile variant at C = 16384 on the 30-obs README model
+    overflowed the 16 MiB scoped-VMEM limit."""
+    const_refs = rest[:n_consts]
+    (x_ref, lp_ref, g_ref, sv_ref, minv_ref,
+     out_x_ref, out_lp_ref, out_g_ref, out_acc_ref, out_sv_ref,
+     out_sum_ref, out_sum2_ref,
+     sx, slp, sg, ssv, ssum, ssum2, smean, sm2, sminv) = rest[n_consts:]
+    i = pl.program_id(0)
+    g_id = pl.program_id(1)
+    d, tc = x_ref.shape
+    E = len(trips)
+    consts = tuple(c[:] for c in const_refs)
+
+    pltpu.prng_seed(seed_ref[0, 0] + i * (n_groups + 1) + g_id)
+
+    def value_and_grad(y):
+        lp, pullback = jax.vjp(
+            lambda ym: logdensity_tile_fn(ym, *consts), y
+        )
+        (grad,) = pullback(jnp.ones_like(lp))
+        return lp, grad
+
+    @pl.when(g_id == 0)
+    def _():
+        sx[:] = x_ref[:]
+        slp[:] = lp_ref[:]
+        sg[:] = g_ref[:]
+        ssv[:] = sv_ref[:]
+        ssum[:] = jnp.zeros_like(ssum)
+        ssum2[:] = jnp.zeros_like(ssum2)
+        smean[:] = jnp.zeros_like(smean)
+        sm2[:] = jnp.zeros_like(sm2)
+        sminv[:] = minv_ref[:]
+
+    x, lp, grad = sx[:], slp[:], sg[:]
+    sv = ssv[:]  # (9, 1): le, leb, hb, lT, lTb, adam_m, adam_v, t, n
+    le, leb, hb = sv[0:1], sv[1:2], sv[2:3]
+    lT, lTb = sv[3:4], sv[4:5]
+    am, av = sv[5:6], sv[6:7]
+    t, n = sv[7:8], sv[8:9]
+    # Live per-tile Welford mass (``adapt_mass``): the in-kernel M⁻¹
+    # tracks the tile's own pooled moments per step (seeded from the
+    # input M⁻¹ through the warm-start guard); the launcher's boundary
+    # combine replaces it with the exact cross-tile global estimate.
+    sum1, sum2 = ssum[:], ssum2[:]
+    acc_f = jnp.zeros((1, tc), jnp.float32)
+    statics = dict(
+        target=target, t0=t0, kappa=kappa, gamma=gamma, mu=mu, lr=lr,
+        b1=b1, b2=b2,
+        log_b1=math.log(b1) if b1 > 0.0 else -1e30,
+        log_b2=math.log(b2) if b2 > 0.0 else -1e30,
+        max_leapfrog=max_leapfrog, welford=bool(adapt_mass),
+        mass_reg=mass_reg, mass_warm_start=mass_warm_start,
+    )
+    carry = (x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
+             smean[:], sm2[:], sminv[:], sum1, sum2, acc_f)
+    for e in range(E):
+        carry = _chees_adapt_step(
+            value_and_grad, trips[e], us[e], carry, **statics
+        )
+    (x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
+     mean_w, m2_w, minv, sum1, sum2, acc_f) = carry
+
+    def store_sv(ref):
+        ref[pl.ds(0, 1)] = le
+        ref[pl.ds(1, 1)] = leb
+        ref[pl.ds(2, 1)] = hb
+        ref[pl.ds(3, 1)] = lT
+        ref[pl.ds(4, 1)] = lTb
+        ref[pl.ds(5, 1)] = am
+        ref[pl.ds(6, 1)] = av
+        ref[pl.ds(7, 1)] = t
+        ref[pl.ds(8, 1)] = n
+
+    sx[:] = x
+    slp[:] = lp
+    sg[:] = grad
+    store_sv(ssv)
+    ssum[:] = sum1
+    ssum2[:] = sum2
+    smean[:] = mean_w
+    sm2[:] = m2_w
+    sminv[:] = minv
+
+    @pl.when(g_id == n_groups - 1)
+    def _():
+        out_x_ref[:] = x
+        out_lp_ref[:] = lp
+        out_g_ref[:] = grad
+        out_acc_ref[:] = acc_f
+        # Per-tile stat blocks must be 128 lanes wide (Pallas TPU block
+        # constraint) — each value is replicated across its tile's lane
+        # block; the launcher reads column 0 of each.
+        out_sv_ref[pl.ds(0, 1)] = jnp.broadcast_to(le, (1, 128))
+        out_sv_ref[pl.ds(1, 1)] = jnp.broadcast_to(leb, (1, 128))
+        out_sv_ref[pl.ds(2, 1)] = jnp.broadcast_to(hb, (1, 128))
+        out_sv_ref[pl.ds(3, 1)] = jnp.broadcast_to(lT, (1, 128))
+        out_sv_ref[pl.ds(4, 1)] = jnp.broadcast_to(lTb, (1, 128))
+        out_sv_ref[pl.ds(5, 1)] = jnp.broadcast_to(am, (1, 128))
+        out_sv_ref[pl.ds(6, 1)] = jnp.broadcast_to(av, (1, 128))
+        out_sv_ref[pl.ds(7, 1)] = jnp.broadcast_to(t, (1, 128))
+        out_sv_ref[pl.ds(8, 1)] = jnp.broadcast_to(n, (1, 128))
+        out_sum_ref[:] = jnp.broadcast_to(sum1, (sum1.shape[0], 128))
+        out_sum2_ref[:] = jnp.broadcast_to(sum2, (sum2.shape[0], 128))
+
+
+def fused_chees_warmup_block(
+    logdensity_tile_fn: Callable,
+    d: int,
+    *,
+    trips: Sequence[int],
+    us: Sequence[float],
+    n_groups: int,
+    target_accept: float,
+    t0: float,
+    kappa: float,
+    gamma: float,
+    mu: float,
+    learning_rate: float,
+    adam_b1: float,
+    adam_b2: float,
+    max_leapfrog: int,
+    adapt_mass: bool,
+    mass_regularization: float,
+    mass_warm_start: int,
+    consts: Tuple[jax.Array, ...] = (),
+    tile_chains: int = 2048,
+):
+    """Build one fused ChEES warmup block (``len(trips)·n_groups`` steps
+    per chain tile).
+
+    Call as ``run(x_T (d, C), lp (1, C), grad (d, C), sv (9, 1),
+    minv (d, 1), seed)`` where ``sv`` packs the shared adaptation scalars
+    ``[log_eps, log_eps_bar, h_bar, log_T, log_T_bar, adam_m, adam_v, t,
+    n]`` and ``minv`` is the block-frozen inverse mass (the launcher
+    re-estimates it at block boundaries from the emitted batch moments). Returns ``(x, lp, grad, acc,
+    sv_tiles (9, n_tiles·128), sum_x (d, n_tiles·128), sum_x2
+    (d, n_tiles·128))`` — per-TILE adapted scalars and raw batch position
+    moments (each tile's values replicated over its 128-lane stat block;
+    read every 128th column), which the launcher combines across tiles
+    (averaged scalars + exact Welford merge) before the next block.
+
+    Kernel variants are keyed by ``(trips, us, n_groups)`` — the launcher
+    quantizes block-start T/ε into the static schedule, so only genuinely
+    new ratios recompile (≙ the frozen kernel's R keying)."""
+    consts = tuple(
+        jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
+        jnp.asarray(c, jnp.float32)
+        for c in consts
+    )
+    trips = tuple(int(v) for v in trips)
+    us = tuple(float(v) for v in us)
+    if len(trips) != len(us):
+        raise ValueError("trips and us must be the same length")
+    if any(v < 1 for v in trips):
+        raise ValueError("every trip count must be >= 1")
+    kernel = functools.partial(
+        _chees_warmup_kernel,
+        logdensity_tile_fn=logdensity_tile_fn,
+        n_consts=len(consts),
+        trips=trips,
+        us=us,
+        n_groups=int(n_groups),
+        target=float(target_accept),
+        t0=float(t0),
+        kappa=float(kappa),
+        gamma=float(gamma),
+        mu=float(mu),
+        lr=float(learning_rate),
+        b1=float(adam_b1),
+        b2=float(adam_b2),
+        max_leapfrog=int(max_leapfrog),
+        adapt_mass=bool(adapt_mass),
+        mass_reg=float(mass_regularization),
+        mass_warm_start=float(mass_warm_start),
+    )
+
+    @jax.jit
+    def run(x_t, lp, grad, sv, minv, seed):
+        c = x_t.shape[1]
+        if c % tile_chains != 0:
+            raise ValueError(
+                f"chains={c} must be a multiple of tile_chains={tile_chains}"
+            )
+        n_tiles = c // tile_chains
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        whole = lambda arr: pl.BlockSpec(
+            arr.shape, lambda i, g: tuple(0 for _ in arr.shape),
+            memory_space=pltpu.VMEM,
+        )
+        tin = lambda rows: pl.BlockSpec(
+            (rows, tile_chains), lambda i, g: (0, i), memory_space=pltpu.VMEM
+        )
+        per_tile = lambda rows: pl.BlockSpec(
+            (rows, 128), lambda i, g: (0, i), memory_space=pltpu.VMEM
+        )
+        small = (
+            jnp.asarray(sv, jnp.float32).reshape(9, 1),
+            jnp.asarray(minv, jnp.float32).reshape(d, 1),
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, int(n_groups)),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *[whole(cst) for cst in consts],
+                tin(d),
+                tin(1),
+                tin(d),
+                *[whole(a) for a in small],
+            ],
+            out_specs=[
+                tin(d), tin(1), tin(d), tin(1),
+                per_tile(9), per_tile(d), per_tile(d),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((d, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((d, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((9, n_tiles * 128), jnp.float32),
+                jax.ShapeDtypeStruct((d, n_tiles * 128), jnp.float32),
+                jax.ShapeDtypeStruct((d, n_tiles * 128), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((d, tile_chains), jnp.float32),
+                pltpu.VMEM((1, tile_chains), jnp.float32),
+                pltpu.VMEM((d, tile_chains), jnp.float32),
+                pltpu.VMEM((9, 1), jnp.float32),
+                pltpu.VMEM((d, 1), jnp.float32),
+                pltpu.VMEM((d, 1), jnp.float32),
+                pltpu.VMEM((d, 1), jnp.float32),
+                pltpu.VMEM((d, 1), jnp.float32),
+                pltpu.VMEM((d, 1), jnp.float32),
+            ],
+        )(seed_arr, *consts, x_t, lp, grad, *small)
+        return outs
+
+    return run
 
 
 def fused_chees_frozen_sample(

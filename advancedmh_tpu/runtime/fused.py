@@ -15,6 +15,8 @@ distribution, not bitstream.
 """
 from __future__ import annotations
 
+import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -646,8 +648,6 @@ def sample_fused_adaptive_hmc(
 
     if sampler.pooled:
         # -- pooled: two-stage (XLA pooled warmup → shared frozen kernel) --
-        from ..ops.pallas_chees import fused_chees_frozen_sample
-
         if resume:
             wstate = initial_state
         else:
@@ -682,10 +682,9 @@ def sample_fused_adaptive_hmc(
         eps_row, minv_col, x_t, lp0, g_t = _ahmc_pooled_stage(wstate, d)
         E = min(16, n_samples)
         L = int(sampler.n_leapfrog)
-        base = fused_chees_frozen_sample(
-            tile_fn, d, n_samples, trips=(L,) * (E * thinning),
-            thin=thinning, consts=consts, tile_chains=tile,
-            samples_per_block=E,
+        base = _chees_frozen_kernel_for(
+            tile_fn, consts, d, n_samples, (L,) * (E * thinning),
+            thinning, tile, E,
         )
         # ε̄ is per-chain (pooled AdaptiveHMC dual-averages per chain), so
         # it travels as an explicit argument — _shard_fused shards it with
@@ -797,6 +796,221 @@ def sample_fused_adaptive_hmc(
     return transitions, final_state
 
 
+_CHEES_WARMUP_KERNELS = {}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "m_obs", "adapt_mass", "reg", "warm_start", "num_chains", "d",
+    ),
+)
+def _chees_warmup_combine(
+    sv_wide, sumx_wide, sumx2_wide, x, lp, g, acc, minv0,
+    *, m_obs, adapt_mass, reg, warm_start, num_chains, d,
+):
+    """Jitted cross-tile combine + state build for the fused ChEES warmup
+    (ONE dispatch — run unjitted, each of the ~20 small jnp ops here costs
+    a separate ~1-2 ms tunnel dispatch, which dominated the warmup time)."""
+    from ..samplers.base import GradientTransition
+    from ..samplers.chees import ChEESHMCState
+
+    # Per-tile stats are replicated over 128-lane blocks — read every
+    # 128th column. Scalars: average over tiles (each tile is an i.i.d.
+    # low-variance estimate of the same fixed point). Mass: exact merge
+    # from the raw batch sums.
+    sv_tiles = sv_wide[:, ::128]
+    scalars = jnp.mean(sv_tiles[0:7], axis=1, keepdims=True)
+    s1 = jnp.sum(sumx_wide[:, ::128], axis=1, keepdims=True)
+    s2 = jnp.sum(sumx2_wide[:, ::128], axis=1, keepdims=True)
+    mean = s1 / m_obs
+    m2 = s2 - s1 * s1 / m_obs
+    n_new = jnp.full((1, 1), m_obs, jnp.float32)
+    if adapt_mass and m_obs >= warm_start:
+        var = m2 / max(m_obs - 1.0, 1.0)
+        minv = (m_obs / (m_obs + reg)) * var + 1e-3 * (reg / (m_obs + reg))
+    else:
+        minv = minv0
+    sv = jnp.concatenate([scalars, sv_tiles[7:8, 0:1], n_new], axis=0)
+
+    C = num_chains
+    trim = lambda a: a[:, :C]
+    brow = lambda v: jnp.broadcast_to(v, (C,))
+    bcol = lambda a: jnp.broadcast_to(jnp.transpose(a), (C, d))
+    inner = GradientTransition(
+        jnp.transpose(trim(x)), trim(lp)[0], jnp.transpose(trim(g)),
+        trim(acc)[0] > 0.5,
+    )
+    state = ChEESHMCState(
+        inner=inner,
+        log_eps=brow(sv[0, 0]),
+        log_eps_bar=brow(sv[1, 0]),
+        h_bar=brow(sv[2, 0]),
+        log_traj=brow(sv[3, 0]),
+        log_traj_bar=brow(sv[4, 0]),
+        adam_m=brow(sv[5, 0]),
+        adam_v=brow(sv[6, 0]),
+        t=brow(sv[7, 0].astype(jnp.int32)),
+        mean=bcol(mean),
+        m2=bcol(m2),
+        n=brow(sv[8, 0]),
+        inverse_mass=bcol(minv),
+    )
+    # sv and minv ride along so the caller can stage the frozen phase with
+    # ONE small host pull instead of chees_frozen_stage's several.
+    return state, sv, minv
+
+
+def _chees_warmup_kernel_for(tile_fn, consts, d, trips, us, n_groups,
+                             tile, sampler):
+    """Module-level cache of built warmup-block kernels: rebuilding a
+    ``jax.jit`` wrapper per sample() call re-pays lowering + the remote
+    Mosaic round-trip (~5 s through the tunnel) even when the compiled
+    kernel itself is cached — keying on the full static configuration
+    makes repeat warmups dispatch in milliseconds."""
+    from ..ops.pallas_chees import fused_chees_warmup_block
+
+    consts_key = tuple(
+        (np.asarray(c).tobytes(), np.asarray(c).shape) for c in consts
+    )
+    key = (
+        tile_fn, consts_key, d, trips, us, n_groups, tile,
+        sampler.target_accept, sampler.t0, sampler.kappa, sampler.gamma,
+        sampler._mu, sampler.learning_rate, sampler.adam_b1,
+        sampler.adam_b2, int(sampler.max_leapfrog), sampler.adapt_mass,
+        sampler.mass_regularization, sampler.mass_warm_start,
+    )
+    if key not in _CHEES_WARMUP_KERNELS:
+        _CHEES_WARMUP_KERNELS[key] = fused_chees_warmup_block(
+            tile_fn, d, trips=trips, us=us, n_groups=n_groups,
+            target_accept=sampler.target_accept,
+            t0=sampler.t0, kappa=sampler.kappa, gamma=sampler.gamma,
+            mu=sampler._mu, learning_rate=sampler.learning_rate,
+            adam_b1=sampler.adam_b1, adam_b2=sampler.adam_b2,
+            max_leapfrog=int(sampler.max_leapfrog),
+            adapt_mass=sampler.adapt_mass,
+            mass_regularization=sampler.mass_regularization,
+            mass_warm_start=sampler.mass_warm_start,
+            consts=consts, tile_chains=tile,
+        )
+    return _CHEES_WARMUP_KERNELS[key]
+
+
+def fused_chees_warmup(
+    tile_fn,
+    consts,
+    sampler,
+    d: int,
+    num_chains: int,
+    key: KeyArray,
+    x_t,
+    lp0,
+    g_t,
+    num_warmup: int,
+    tile_chains: int = 4096,
+):
+    """Fused ChEES warmup (VERDICT r4 #1): the warmup phase in ONE Pallas
+    launch instead of the XLA scan. Motivation is twofold: the XLA warmup
+    ran at 1.57e8 chain-steps/s against the frozen kernel's ~1.9e9
+    grad-evals/s, and — decisive for the launch structure — EVERY kernel
+    launch costs ~24 ms of fixed dispatch through the axon tunnel
+    (measured: n_steps=2 and n_steps=100 RWMH launches both take 24.5
+    ms), so a multi-block segmented warmup would drown in fixed cost.
+
+    Inside the launch every adaptation statistic updates per STEP with
+    live values, pooled exactly over each ≥1024-chain tile (tile-local
+    pooling — far lower-variance than the ChEES paper's ~100-chain
+    batches; a single-tile exact variant dies on the density's (n_obs, C)
+    VMEM intermediates at C = 16384), including the per-tile Welford
+    mass. The ONE static quantity is the leapfrog trip schedule, staged
+    from the INITIAL ratio T₀/ε₀ with van-der-Corput jitter (period =
+    the largest divisor of ``num_warmup`` ≤ 16): executed trajectory
+    lengths are quantized at the initial ratio while the statistics adapt
+    live — the frozen phase then re-quantizes from the FULLY-ADAPTED
+    (ε̄, T̄), which is where trip fidelity actually buys ESS (4000 draws
+    vs 500 warmup steps). Afterwards the launcher combines tiles:
+    averaged scalars + exact cross-tile Welford merge from the emitted
+    raw batch sums (Chan–Golub–LeVeque with the global count).
+
+    The launch's RNG seed derives from ``fold_in(key, 1)`` — the first
+    warmup iteration index — so the frozen stage's ``fold_in(key,
+    num_warmup + 1)`` seed never collides.
+
+    Returns a fully-populated replicated ``ChEESHMCState`` (≙ the XLA
+    warmup's), so frozen staging, resume, and checkpointing behave
+    identically downstream."""
+    from ..ops.pallas_chees import vdc
+
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, None, "chains", d=d, vmem_budget=2 << 20,
+    )
+    sv = np.zeros((9, 1), np.float32)
+    sv[0, 0] = sv[1, 0] = math.log(sampler.initial_step_size)
+    sv[3, 0] = sv[4, 0] = math.log(sampler.initial_trajectory_length)
+    sv[7, 0] = 1.0  # t
+    sv = jnp.asarray(sv)
+    minv = jnp.ones((d, 1), jnp.float32)
+    pad = lambda a: jnp.pad(
+        a, [(0, 0), (0, c_pad - num_chains)], mode="edge"
+    ) if c_pad != num_chains else a
+    x, lp, g = pad(x_t), pad(lp0), pad(g_t)
+    max_l = int(sampler.max_leapfrog)
+    r = float(sampler.mass_regularization)
+    # Period = largest divisor of num_warmup ≤ 16 (exactly num_warmup
+    # steps, one launch; a prime num_warmup degrades to a jitter-free
+    # period-1 warmup schedule — the frozen phase is still jittered).
+    e_w = max(e for e in range(1, 17) if num_warmup % e == 0)
+    n_groups = num_warmup // e_w
+    ratio = sampler.initial_trajectory_length / sampler.initial_step_size
+    us = tuple(vdc(j + 1) for j in range(e_w))
+    trips = tuple(max(1, min(max_l, round(u * ratio))) for u in us)
+    run = _chees_warmup_kernel_for(
+        tile_fn, consts, d, trips, us, n_groups, tile, sampler
+    )
+    seed = jax.random.randint(
+        jax.random.fold_in(key, 1), (), 0, 2**31 - 1, dtype=jnp.int32,
+    )
+    x, lp, g, acc, sv_wide, sumx_wide, sumx2_wide = run(
+        x, lp, g, sv, minv, seed
+    )
+    return _chees_warmup_combine(
+        sv_wide, sumx_wide, sumx2_wide, x, lp, g, acc, minv,
+        m_obs=float(c_pad * num_warmup),
+        adapt_mass=bool(sampler.adapt_mass),
+        reg=r,
+        warm_start=float(sampler.mass_warm_start),
+        num_chains=num_chains,
+        d=d,
+    )  # (wstate, sv (9, 1), minv (d, 1))
+
+
+_CHEES_FROZEN_KERNELS = {}
+
+
+def _chees_frozen_kernel_for(
+    tile_fn, consts, d, n_samples, trips, thin, tile, samples_per_block
+):
+    """Module-level cache of built frozen-phase kernels (≙
+    :func:`_chees_warmup_kernel_for`): rebuilding the ``jax.jit`` wrapper
+    per sample() call re-pays lowering + the remote Mosaic round-trip
+    (~2 s through the tunnel) even on a compiled-kernel cache hit."""
+    from ..ops.pallas_chees import fused_chees_frozen_sample
+
+    consts_key = tuple(
+        (np.asarray(c).tobytes(), np.asarray(c).shape) for c in consts
+    )
+    key = (
+        tile_fn, consts_key, d, int(n_samples), tuple(trips), int(thin),
+        int(tile), int(samples_per_block),
+    )
+    if key not in _CHEES_FROZEN_KERNELS:
+        _CHEES_FROZEN_KERNELS[key] = fused_chees_frozen_sample(
+            tile_fn, d, n_samples, trips=trips, thin=thin, consts=consts,
+            tile_chains=tile, samples_per_block=samples_per_block,
+        )
+    return _CHEES_FROZEN_KERNELS[key]
+
+
 def chees_frozen_stage(sampler, wstate, d: int):
     """Host-stage the frozen ChEES launch from a warmed state.
 
@@ -895,17 +1109,23 @@ def sample_fused_chees(
     thinning: int,
     tile_chains: int = 1024,
     initial_state=None,
+    warmup_engine: str = "auto",
     mesh=None,
     mesh_axis: str = "chains",
 ):
-    """Fused ChEES-HMC engine: XLA warmup + fused frozen phase.
+    """Fused ChEES-HMC engine: fused (or XLA) warmup + fused frozen phase.
 
     Two stages (ops/pallas_chees.py has the rationale):
 
-    1. **Warmup on the XLA engine** — ``step_warmup_batched`` scanned over
-       ``num_warmup`` steps at the full chain batch, so the cross-chain
-       pooled statistics (ChEES gradient, mean acceptance, pooled Welford
-       mass) keep exactly the semantics of ``samplers/chees.py``.
+    1. **Warmup** — by default (``warmup_engine="auto"``) the segmented
+       FUSED warmup (:func:`fused_chees_warmup`, r4): per-step live
+       adaptation with exact single-tile cross-chain reductions, static
+       per-block trip schedules. Falls back to the XLA engine
+       (``step_warmup_batched`` scanned at the full chain batch) when the
+       batch exceeds the single-tile VMEM gate, when a mesh is given (the
+       fused warmup's cross-chain reductions are tile-local, so sharded
+       warmup stays on XLA/GSPMD where they compile to psums), or with
+       ``warmup_engine="xla"``.
     2. **Frozen phase on the fused Pallas kernel** — the two adapted
        scalars (ε̄, T̄) are host-staged (~ms transfer), the trajectory
        ratio is quantized to ``R = round(T̄/ε̄)``, and a deterministic
@@ -929,7 +1149,7 @@ def sample_fused_chees(
     phase is re-staged from the saved (ε̄, T̄, M⁻¹) — same integer ratio →
     same compiled kernel across chunks. Requires the chunk-resume schedule
     (``num_warmup=0``, ``discard_initial=thinning``, ≙ fused RAM)."""
-    from ..ops.pallas_chees import fused_chees_frozen_sample, halton_trips
+    from ..ops.pallas_chees import halton_trips
     from ..samplers.base import GradientTransition
     from ..utils import replace as _replace
 
@@ -965,53 +1185,102 @@ def sample_fused_chees(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
+    if warmup_engine not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown warmup_engine {warmup_engine!r}")
     if initial_state is None:
-        # Stage 1 — XLA warmup (full-batch cross-chain adaptation). With a
-        # mesh, the warmup state is sharding-constrained over the chain
-        # axis (every ChEESHMCState leaf is chain-leading), so GSPMD runs
-        # the warmup sharded with the pooled reductions as psums over ICI —
-        # matching the XLA engine — instead of concentrating the whole
-        # batch on one device (ADVICE r3).
-        init = jnp.asarray(initial_params, jnp.float32)
-        init_b = (
-            jnp.broadcast_to(init, (num_chains, d))
-            if init.ndim == 1
-            else init
-        )
-        constrain = _chain_constrainer(mesh, mesh_axis)
-
-        @jax.jit
-        def warm(k):
-            _, state = jax.vmap(
-                lambda kk, x0: sampler.init(kk, model, x0)
-            )(jax.random.split(k, num_chains), init_b)
-            state = constrain(state)
-
-            def body(s, j):
-                # Absolute-iteration key indexing (CLAUDE.md contract):
-                # init is j=0, warmup steps consume j=1..W.
-                _, s = sampler.step_warmup_batched(
-                    jax.random.fold_in(k, j), s, model, (num_chains,)
-                )
-                return s, None
-
-            state, _ = jax.lax.scan(
-                body, state, jnp.arange(1, num_warmup + 1)
+        use_fused_warmup = warmup_engine != "xla" and mesh is None
+        if warmup_engine == "fused" and not use_fused_warmup:
+            raise ValueError(
+                "warmup_engine='fused' needs mesh=None (sharded warmup "
+                "runs on XLA/GSPMD, where the pooled cross-chain "
+                "reductions compile to psums over ICI — the fused "
+                "warmup's pooling is tile-local); use 'auto' or 'xla'."
             )
-            return state
+        init = jnp.asarray(initial_params, jnp.float32)
+        if use_fused_warmup:
+            # Stage 1 (fused) — single-launch Pallas warmup (VERDICT r4
+            # #1); sv/minv ride along for the fast one-pull staging below.
+            x_t0 = (
+                jnp.broadcast_to(init[:, None], (d, num_chains))
+                if init.ndim == 1
+                else jnp.asarray(init).T
+            )
+            const_args0 = tuple(jnp.asarray(c) for c in consts)
+            lp00 = tile_fn(x_t0, *const_args0)
+            g00 = jax.grad(
+                lambda xm: jnp.sum(tile_fn(xm, *const_args0))
+            )(x_t0)
+            wstate, sv_dev, minv_dev = fused_chees_warmup(
+                tile_fn, consts, sampler, d, num_chains, key,
+                x_t0, lp00, g00, num_warmup,
+            )
+            fast_stage = (sv_dev, minv_dev)
+        else:
+            # Stage 1 (XLA) — full-batch cross-chain adaptation. With a
+            # mesh, the warmup state is sharding-constrained over the
+            # chain axis (every ChEESHMCState leaf is chain-leading), so
+            # GSPMD runs the warmup sharded with the pooled reductions as
+            # psums over ICI — matching the XLA engine — instead of
+            # concentrating the whole batch on one device (ADVICE r3).
+            init_b = (
+                jnp.broadcast_to(init, (num_chains, d))
+                if init.ndim == 1
+                else init
+            )
+            constrain = _chain_constrainer(mesh, mesh_axis)
 
-        wstate = warm(key)
+            @jax.jit
+            def warm(k):
+                _, state = jax.vmap(
+                    lambda kk, x0: sampler.init(kk, model, x0)
+                )(jax.random.split(k, num_chains), init_b)
+                state = constrain(state)
+
+                def body(s, j):
+                    # Absolute-iteration key indexing (CLAUDE.md
+                    # contract): init is j=0, warmup steps consume
+                    # j=1..W.
+                    _, s = sampler.step_warmup_batched(
+                        jax.random.fold_in(k, j), s, model, (num_chains,)
+                    )
+                    return s, None
+
+                state, _ = jax.lax.scan(
+                    body, state, jnp.arange(1, num_warmup + 1)
+                )
+                return state
+
+            wstate = warm(key)
+            fast_stage = None
+    else:
+        fast_stage = None
 
     # Stage 2 — host-stage (ε̄, T̄); bake the static Halton trip schedule.
-    ratio, eps_arr, minv_col, x_t, lp0, g_t = chees_frozen_stage(
-        sampler, wstate, d
-    )
+    if fast_stage is not None:
+        # Fused-warmup fast path: the replicated adapted scalars are in the
+        # packed sv — ONE small host pull stages everything (the general
+        # chees_frozen_stage makes several pulls and runs the replication
+        # guard, unnecessary for a state this launcher just built).
+        svh = np.asarray(fast_stage[0])
+        eps_bar = float(np.exp(svh[1, 0]))
+        t_bar = float(np.exp(svh[4, 0]))
+        ratio = max(
+            1, min(int(round(t_bar / eps_bar)), int(sampler.max_leapfrog))
+        )
+        eps_arr = jnp.float32(eps_bar)
+        minv_col = fast_stage[1]
+        x_t = jnp.transpose(wstate.inner.params)
+        lp0 = wstate.inner.lp[None, :]
+        g_t = jnp.transpose(wstate.inner.gradient)
+    else:
+        ratio, eps_arr, minv_col, x_t, lp0, g_t = chees_frozen_stage(
+            sampler, wstate, d
+        )
     E = min(16, n_samples)
     trips = halton_trips(ratio, E * thinning, sampler.max_leapfrog)
 
-    base = fused_chees_frozen_sample(
-        tile_fn, d, n_samples, trips=trips, thin=thinning, consts=consts,
-        tile_chains=tile, samples_per_block=E,
+    base = _chees_frozen_kernel_for(
+        tile_fn, consts, d, n_samples, trips, thinning, tile, E
     )
     run = lambda x, l, g, seed: base(x, l, g, eps_arr, minv_col, seed)
     if mesh is not None:

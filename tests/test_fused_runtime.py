@@ -278,6 +278,29 @@ class TestFusedChEESPlumbing:
                    engine="fused", num_warmup=0, discard_initial=0,
                    initial_params=jnp.zeros(2))
 
+    def test_chees_warmup_engine_guard(self):
+        """warmup_engine='fused' is single-host only (sharded warmup runs
+        on XLA/GSPMD); with a mesh it must raise, and unknown values are
+        rejected — both before any kernel compiles."""
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.parallel.mesh import make_mesh
+        from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+        kw = dict(
+            key=jax.random.key(0), num_chains=1024,
+            initial_params=jnp.zeros(2), num_warmup=8, discard_initial=8,
+            thinning=1,
+        )
+        with pytest.raises(ValueError, match="warmup_engine"):
+            sample_fused_chees(
+                self._model(), ChEESHMC(), 4, warmup_engine="fused",
+                mesh=make_mesh(axis="chains"), **kw,
+            )
+        with pytest.raises(ValueError, match="warmup_engine"):
+            sample_fused_chees(
+                self._model(), ChEESHMC(), 4, warmup_engine="nope", **kw,
+            )
+
     def test_chees_resume_needs_chunk_schedule(self):
         """Fused ChEES resume is supported (frozen-phase re-staging from
         the saved ε̄/T̄/M⁻¹) but only under the chunk-resume schedule —

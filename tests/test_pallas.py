@@ -1242,6 +1242,54 @@ class TestFusedChEES:
         st = res.final_state
         assert np.isfinite(np.asarray(st.log_traj_bar)).all()
 
+    def test_fused_warmup_matches_xla_adaptation(self):
+        """The single-launch fused warmup (r4) must land the same adapted
+        regime as the XLA warmup: ε̄/T̄ within a modest band (different
+        PRNG + tile-local pooling + init-ratio trip quantization, same
+        fixed point), shared inverse mass tracking the posterior
+        variances, and matching posterior moments downstream."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        kw = dict(
+            key=jax.random.key(9), num_chains=4096,
+            initial_params=jnp.zeros(2), num_warmup=400,
+            discard_initial=400, thinning=1,
+        )
+        tr_f, st_f = sample_fused_chees(
+            model, spl, 600, warmup_engine="fused", **kw
+        )
+        tr_x, st_x = sample_fused_chees(
+            model, spl, 600, warmup_engine="xla", **kw
+        )
+
+        def adapted(st):
+            return (
+                float(np.exp(np.asarray(st.log_eps_bar).reshape(-1)[0])),
+                float(np.exp(np.asarray(st.log_traj_bar).reshape(-1)[0])),
+                np.asarray(st.inverse_mass).reshape(-1, 2)[0],
+            )
+
+        eps_f, t_f, minv_f = adapted(st_f)
+        eps_x, t_x, minv_x = adapted(st_x)
+        assert 0.6 < eps_f / eps_x < 1.6
+        assert 0.4 < t_f / t_x < 2.5
+        np.testing.assert_allclose(minv_f, minv_x, rtol=0.35)
+        for tr in (tr_f, tr_x):
+            draws = np.asarray(tr.params).reshape(-1, 2)
+            np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+            np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+
     def test_fused_chees_funnel_d10(self):
         """d=10 Neal funnel: exercises the fused frozen kernel beyond d=2
         (vmem-capped tile selection) on the divergence-prone geometry —
