@@ -985,6 +985,35 @@ def fused_chees_warmup(
 
 
 _CHEES_FROZEN_KERNELS = {}
+_CHEES_POST = {}
+
+
+def _chees_post_for(tile_fn, consts):
+    """Jitted output conversion for the fused ChEES engine: layout
+    transposes of the ~0.5 GB emission buffers + the final-state gradient
+    in ONE dispatch (run op-by-op these cost ~10 ms of per-op tunnel
+    dispatch on the amortized-critical path)."""
+    consts_key = tuple(
+        (np.asarray(c).tobytes(), np.asarray(c).shape) for c in consts
+    )
+    key = (tile_fn, consts_key)
+    if key not in _CHEES_POST:
+        const_args = tuple(jnp.asarray(c) for c in consts)
+
+        @jax.jit
+        def post(samples, lps, accs):
+            params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+            lp = jnp.transpose(lps[:, 0, :], (1, 0))
+            accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+            grad_last = jnp.transpose(
+                jax.grad(
+                    lambda xm: jnp.sum(tile_fn(xm, *const_args))
+                )(jnp.transpose(params[:, -1, :]))
+            )  # (C, d)
+            return params, lp, accepted, grad_last
+
+        _CHEES_POST[key] = post
+    return _CHEES_POST[key]
 
 
 def _chees_frozen_kernel_for(
@@ -1296,17 +1325,12 @@ def sample_fused_chees(
     samples, lps, accs = run(x_t, lp0, g_t, seed)
     _fence_launch(samples)
 
-    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
-    lp = jnp.transpose(lps[:, 0, :], (1, 0))
-    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    params, lp, accepted, grad_last = _chees_post_for(tile_fn, consts)(
+        samples, lps, accs
+    )
     transitions = Transition(params, lp, accepted)
-    const_args = tuple(jnp.asarray(c) for c in consts)
-    grad_last_t = jax.grad(
-        lambda xm: jnp.sum(tile_fn(xm, *const_args))
-    )(jnp.transpose(params[:, -1, :]))
     inner = GradientTransition(
-        params[:, -1, :], lp[:, -1], jnp.transpose(grad_last_t),
-        accepted[:, -1],
+        params[:, -1, :], lp[:, -1], grad_last, accepted[:, -1],
     )
     return transitions, _replace(wstate, inner=inner)
 

@@ -256,82 +256,50 @@ def bench_ess_per_s_adaptive_hmc(model):
 
 
 def bench_ess_per_s_chees(model):
-    """No-knobs ChEES-HMC on the two-stage fused engine: XLA cross-chain
-    warmup (ε, T, mass all from batch statistics), then the fused frozen
-    kernel with the host-staged static Halton trajectory schedule
-    (ops/pallas_chees.py). Stages timed directly — steady-state is the
-    frozen kernel, amortized includes warmup + the (ε̄, T̄) host staging."""
+    """No-knobs ChEES-HMC through the LIBRARY fused pipeline (r4): ONE
+    Pallas launch runs the whole warmup with per-step live tile-pooled
+    adaptation, then the frozen kernel with the host-staged static Halton
+    trajectory schedule. Timed like every other single-launch engine:
+    ``t(full) − t(probe)`` cancels the warmup AND the fixed per-launch
+    dispatch costs (same convention as the other samplers' rows)."""
     from advancedmh_tpu import ChEESHMC
     from advancedmh_tpu.diagnostics import ess
-    from advancedmh_tpu.ops.pallas_chees import (
-        fused_chees_frozen_sample,
-        halton_trips,
-    )
+    from advancedmh_tpu.runtime.fused import sample_fused_chees
 
     spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
                    max_leapfrog=16)
 
-    @jax.jit
-    def warm(seed_key):
-        _, state = jax.vmap(
-            lambda k: spl.init(k, model, jnp.asarray([0.0, 1.0]))
-        )(jax.random.split(seed_key, N_CHAINS))
-
-        def wbody(s, j):
-            _, s = spl.step_warmup_batched(
-                jax.random.fold_in(seed_key, j), s, model, (N_CHAINS,)
-            )
-            return s, None
-
-        state, _ = jax.lax.scan(wbody, state, jnp.arange(N_WARM))
-        return state
-
-    kernels = {}
-
-    def frozen_for(ratio):
-        if ratio not in kernels:
-            kernels[ratio] = fused_chees_frozen_sample(
-                model.tile_density, d=2, n_samples=N_DRAWS,
-                trips=halton_trips(ratio, 16, spl.max_leapfrog),
-                consts=model.tile_consts, tile_chains=1024,
-            )
-        return kernels[ratio]
-
-    def stage2_inputs(state):
-        # the engine's own staging helper — bench measures exactly what
-        # sample_fused_chees runs (incl. the replication guard)
-        from advancedmh_tpu.runtime.fused import chees_frozen_stage
-
-        ratio, eps_arr, minv_col, x_t, lp, g_t = chees_frozen_stage(
-            spl, state, 2
+    def pipeline(n, k):
+        tr, _ = sample_fused_chees(
+            model, spl, n, key=jax.random.key(k), num_chains=N_CHAINS,
+            initial_params=jnp.asarray([0.0, 1.0]), num_warmup=N_WARM,
+            discard_initial=N_WARM, thinning=1,
         )
-        return ratio, (x_t, lp, g_t, eps_arr, minv_col)
+        float(tr.lp[0, -1])  # scalar-read fence
+        return tr
 
-    # Pre-compile: run each trial's warmup once (deterministic per key) so
-    # every frozen-kernel ratio variant compiles outside the timed region.
-    for trial in range(4):
-        st = warm(jax.random.key(trial))
-        ratio, args = stage2_inputs(st)
-        out = frozen_for(ratio)(*args, trial)
-        float(out[0][-1, 0, 0])
+    # Pre-compile every trial's ratio variants (warmup is deterministic
+    # per key, so the staged frozen schedule is too).
+    for k in (1, 2, 3):
+        pipeline(N_DRAWS, k)
+        pipeline(PROBE_DRAWS, k)
 
-    best_am, best = float("inf"), None
-    for trial in range(3):
-        sk = jax.random.key(1 + trial)
+    best_full, best_probe, best_tr = float("inf"), float("inf"), None
+    for k in (1, 2, 3):
         t0 = time.perf_counter()
-        st = warm(sk)
-        ratio, args = stage2_inputs(st)  # includes the (ε̄, T̄) host pull
-        t1 = time.perf_counter()
-        samples, _, accs = frozen_for(ratio)(*args, 1 + trial)
-        float(samples[-1, 0, 0])  # scalar-read fence
-        t2 = time.perf_counter()
-        if t2 - t0 < best_am:
-            best_am, best = t2 - t0, (samples, accs, t2 - t1)
-    samples, accs, t_frozen = best
-    acc = float(accs.mean())
+        tr = pipeline(N_DRAWS, k)
+        tf = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pipeline(PROBE_DRAWS, k)
+        tp = time.perf_counter() - t0
+        if tf < best_full:
+            best_full, best_tr = tf, tr
+        best_probe = min(best_probe, tp)
+    acc = float(np.asarray(best_tr.accepted).mean())
     assert 0.2 < acc < 0.99, f"degenerate ChEES acceptance {acc}"
-    mu_ess = float(ess(samples[:, 0, :]))
-    return mu_ess / t_frozen, mu_ess / best_am
+    mu_ess = float(ess(jnp.transpose(best_tr.params[:, :, 0])))
+    t_sampling = max(best_full - best_probe, 0.25 * best_full)
+    return mu_ess / t_sampling, mu_ess / best_full
 
 
 def main():
