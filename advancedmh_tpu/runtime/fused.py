@@ -103,6 +103,40 @@ def _shard_fused(run, mesh, axis: str):
     return wrapped
 
 
+_ENGINE_CACHE = {}
+
+
+def _freeze(v):
+    """Hashable key form of a builder argument (arrays → bytes)."""
+    if isinstance(v, (np.ndarray, jax.Array)):
+        a = np.asarray(v)
+        return ("arr", a.tobytes(), a.shape, str(a.dtype))
+    if isinstance(v, (tuple, list)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _cached_engine(factory, tile_fn, consts, **statics):
+    """Module-level cache of built fused-engine runners.
+
+    Rebuilding a ``fused_*_sample`` jit wrapper per ``sample()`` call
+    re-pays tracing/lowering + a remote Mosaic round-trip (~2-5 s through
+    the axon tunnel) even when the compiled kernel itself is cached — for
+    ``sample_chunked(engine="fused")`` that tax lands on EVERY chunk. The
+    key covers the factory identity, the tile density function, the
+    density constants (by value), and every static builder argument, so a
+    cache hit is exactly a call that would have built an identical
+    runner."""
+    key = (
+        factory.__module__, factory.__qualname__, tile_fn,
+        _freeze(tuple(consts)),
+        tuple(sorted((k, _freeze(v)) for k, v in statics.items())),
+    )
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = factory(tile_fn, consts=consts, **statics)
+    return _ENGINE_CACHE[key]
+
+
 def _chain_constrainer(mesh, axis: str):
     """Sharding-constrain every leaf of a chain-leading state pytree over
     the mesh (identity without a mesh). Used by the two-stage engines so
@@ -255,12 +289,12 @@ def sample_fused_ram(
     tile_fn, consts = _tile_density_of(model)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_ram_sample(
-        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
+    run = _cached_engine(
+        fused_ram_sample, tile_fn, consts, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
         alpha=sampler.alpha, gamma=sampler.gamma,
         eigenvalue_lower_bound=sampler.eigenvalue_lower_bound,
         eigenvalue_upper_bound=sampler.eigenvalue_upper_bound,
-        consts=consts, tile_chains=tile,
+        tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -350,17 +384,17 @@ def sample_fused_am(
     )
 
     if isinstance(sampler, _DRAM):
-        run = fused_dram_sample(
-            tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
+        run = _cached_engine(
+            fused_dram_sample, tile_fn, consts, d=d, n_samples=n_samples, burn=burn, thin=thinning,
             opt_scale=sampler.opt_scale, gamma=sampler.gamma,
-            consts=consts, tile_chains=tile,
+            tile_chains=tile,
         )
     else:
-        run = fused_am_sample(
-            tile_fn, d=d, n_samples=n_samples, burn=burn, thin=thinning,
+        run = _cached_engine(
+            fused_am_sample, tile_fn, consts, d=d, n_samples=n_samples, burn=burn, thin=thinning,
             beta=sampler.beta, fixed_scale=sampler.fixed_scale,
             opt_scale=sampler.opt_scale, adapt_start=sampler.adapt_start,
-            consts=consts, tile_chains=tile,
+            tile_chains=tile,
         )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -447,9 +481,9 @@ def sample_fused_mala(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
-    run = fused_mala_sample(
-        tile_fn, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
-        thin=thinning, consts=consts, tile_chains=tile,
+    run = _cached_engine(
+        fused_mala_sample, tile_fn, consts, d=d, step_size_sq=s2, n_samples=n_samples, burn=burn,
+        thin=thinning, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -526,10 +560,10 @@ def sample_fused_hmc(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
-    run = fused_hmc_sample(
-        tile_fn, d=d, step_size=float(sampler.step_size),
+    run = _cached_engine(
+        fused_hmc_sample, tile_fn, consts, d=d, step_size=float(sampler.step_size),
         n_leapfrog=int(sampler.n_leapfrog), n_samples=n_samples, burn=burn,
-        thin=thinning, inverse_mass=minv, consts=consts, tile_chains=tile,
+        thin=thinning, inverse_mass=minv, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -714,8 +748,8 @@ def sample_fused_adaptive_hmc(
         return transitions, _replace(wstate, inner=inner)
 
     # -- per-chain: single launch (fresh) or resume kernel variant --------
-    run = fused_adaptive_hmc_sample(
-        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup,
+    run = _cached_engine(
+        fused_adaptive_hmc_sample, tile_fn, consts, d=d, n_samples=n_samples, warmup=num_warmup,
         n_leapfrog=int(sampler.n_leapfrog), thin=thinning,
         initial_step_size=sampler.initial_step_size,
         target_accept=sampler.target_accept,
@@ -723,7 +757,7 @@ def sample_fused_adaptive_hmc(
         mu=sampler.mu,
         mass_regularization=sampler.mass_regularization,
         mass_warm_start=sampler.mass_warm_start,
-        consts=consts, tile_chains=tile, resume=resume,
+        tile_chains=tile, resume=resume,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1000,7 +1034,10 @@ def _chees_post_for(tile_fn, consts):
     if key not in _CHEES_POST:
         const_args = tuple(jnp.asarray(c) for c in consts)
 
-        @jax.jit
+        # Donate the emission buffers: at d=32 × 4000 draws × 8192 chains
+        # the (N, d, C) slab is ~4.2 GB — holding both layouts live OOMs
+        # HBM; the caller never reuses the kernel-layout outputs.
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def post(samples, lps, accs):
             params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
             lp = jnp.transpose(lps[:, 0, :], (1, 0))
@@ -1366,9 +1403,9 @@ def sample_fused_barker(
         num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
 
-    run = fused_barker_sample(
-        tile_fn, d=d, step_size=sampler.step_size, n_samples=n_samples,
-        burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+    run = _cached_engine(
+        fused_barker_sample, tile_fn, consts, d=d, step_size=sampler.step_size, n_samples=n_samples,
+        burn=burn, thin=thinning, tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1460,11 +1497,11 @@ def sample_fused_ess(
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_ess_sample(
-        tile_fn, d=d, loc=loc, scale=scale, n_samples=n_samples,
+    run = _cached_engine(
+        fused_ess_sample, tile_fn, consts, d=d, loc=loc, scale=scale, n_samples=n_samples,
         burn=burn, thin=thinning,
         max_shrink=min(int(sampler.max_shrink), 24),
-        consts=consts, tile_chains=tile,
+        tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1535,10 +1572,10 @@ def sample_fused_pcn(
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_pcn_sample(
-        tile_fn, d=d, loc=loc, scale=scale, beta=sampler.beta,
+    run = _cached_engine(
+        fused_pcn_sample, tile_fn, consts, d=d, loc=loc, scale=scale, beta=sampler.beta,
         n_samples=n_samples, burn=burn, thin=thinning,
-        consts=consts, tile_chains=tile,
+        tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1604,12 +1641,12 @@ def sample_fused_slice(
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_slice_sample(
-        tile_fn, d=d, width=sampler.width, n_samples=n_samples,
+    run = _cached_engine(
+        fused_slice_sample, tile_fn, consts, d=d, width=sampler.width, n_samples=n_samples,
         burn=burn, thin=thinning,
         max_stepout=min(int(sampler.max_stepout), 8),
         max_shrink=min(int(sampler.max_shrink), 24),
-        consts=consts, tile_chains=tile,
+        tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1679,11 +1716,11 @@ def sample_fused_tempering(
     burn = max(discard_initial - thinning, 0)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_tempering_sample(
-        tile_fn, d=d, betas=sampler.betas, scale=scale,
+    run = _cached_engine(
+        fused_tempering_sample, tile_fn, consts, d=d, betas=sampler.betas, scale=scale,
         n_samples=n_samples, burn=burn, thin=thinning,
         replica_scales=sampler.replica_scales,
-        consts=consts, tile_chains=tile,
+        tile_chains=tile,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1790,10 +1827,10 @@ def sample_fused_emcee(
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
 
-    run = fused_emcee_sample(
-        tile_fn, d=d, n_samples=n_samples,
+    run = _cached_engine(
+        fused_emcee_sample, tile_fn, consts, d=d, n_samples=n_samples,
         stretch_length=sampler.proposal.stretch_length,
-        burn=burn, thin=thinning, consts=consts, tile_walkers=tile_walkers,
+        burn=burn, thin=thinning, tile_walkers=tile_walkers,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1872,13 +1909,13 @@ def sample_fused_demc(
     tile_fn, consts = _tile_density_of(model)
     burn = max(discard_initial - thinning, 0)
 
-    run = fused_demc_sample(
-        tile_fn, d=d, n_samples=n_samples,
+    run = _cached_engine(
+        fused_demc_sample, tile_fn, consts, d=d, n_samples=n_samples,
         gamma=sampler._gamma(d), noise_scale=sampler.noise_scale,
         jump_probability=sampler.jump_probability,
         snooker_probability=sampler.snooker_probability,
         snooker_gamma=sampler.snooker_gamma,
-        burn=burn, thin=thinning, consts=consts, tile_members=tile_members,
+        burn=burn, thin=thinning, tile_members=tile_members,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -1942,22 +1979,22 @@ def sample_fused(
                 "full-covariance stages need the XLA engine (the q1 cross "
                 "distance would need an in-kernel triangular solve)."
             )
-        run = fused_dr_sample(
-            tile_fn, d=d, scale1=s1, scale2=s2, n_samples=n_samples,
-            burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+        run = _cached_engine(
+            fused_dr_sample, tile_fn, consts, d=d, scale1=s1, scale2=s2, n_samples=n_samples,
+            burn=burn, thin=thinning, tile_chains=tile,
         )
         scale = None
     elif isinstance(sampler, MultipleTryMetropolis):
         scale = _extract_rw_scale(sampler, d)
-        run = fused_mtm_sample(
-            tile_fn, d=d, scale=scale, k=sampler.k, n_samples=n_samples,
-            burn=burn, thin=thinning, consts=consts, tile_chains=tile,
+        run = _cached_engine(
+            fused_mtm_sample, tile_fn, consts, d=d, scale=scale, k=sampler.k, n_samples=n_samples,
+            burn=burn, thin=thinning, tile_chains=tile,
         )
     else:
         scale = _extract_rw_scale(sampler, d)
-        run = fused_rwmh_sample(
-            tile_fn, d=d, scale=scale, n_samples=n_samples, burn=burn,
-            thin=thinning, consts=consts, tile_chains=tile,
+        run = _cached_engine(
+            fused_rwmh_sample, tile_fn, consts, d=d, scale=scale, n_samples=n_samples, burn=burn,
+            thin=thinning, tile_chains=tile,
         )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
@@ -2049,12 +2086,12 @@ def sample_fused_adapt_rwmh(
     tile_fn, consts = _tile_density_of(model)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
 
-    run = fused_adapt_rwmh_sample(
-        tile_fn, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
+    run = _cached_engine(
+        fused_adapt_rwmh_sample, tile_fn, consts, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
         initial_step_size=sampler.initial_step_size,
         target_accept=sampler.target_accept,
         t0=sampler.t0, kappa=sampler.kappa, gamma=sampler.gamma,
-        mu=sampler.mu, consts=consts, tile_chains=tile, resume=resume,
+        mu=sampler.mu, tile_chains=tile, resume=resume,
     )
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)

@@ -30,8 +30,11 @@ Two numbers per sampler:
   For single-launch fused engines the sampling time is measured as
   ``t(full launch) − t(warmup-probe launch)`` — the probe runs the same
   warmup plus a minimal emission block, so the subtraction cancels both the
-  adaptation steps and the fixed launch overhead. For the two-stage fused
-  ChEES engine the stages are timed directly.
+  adaptation steps and the fixed launch overhead. The fused ChEES pipeline
+  (r4: single-launch fused warmup + frozen kernel) is timed the same way —
+  full pipeline vs probe pipeline. The 25%-of-full floor on the subtraction
+  means a sampler whose true sampling phase is under a quarter of its
+  pipeline reports a floor-limited LOWER bound.
 - ``ess_per_s_mu_<s>_amortized`` — ESS over the FULL timed pipeline
   (adaptation + sampling): what one complete cold run of this size buys.
 
@@ -302,6 +305,121 @@ def bench_ess_per_s_chees(model):
     return mu_ess / t_sampling, mu_ess / best_full
 
 
+# ---------------------------------------------------------------------------
+# Hard-target ESS/s: logistic regression d=32 (VERDICT r4 #3)
+#
+# Every d=2 README-model row lives where cheap-step samplers structurally
+# win; these rows measure the same protocol (500 warmup/burn + 4000 draws,
+# best-of-3, probe subtraction) on the d=32, 256-obs logistic posterior
+# (benchmarks/logreg.py's model; the density is an MXU matmul) with 8192
+# chains — the regime where gradient samplers earn their keep. ESS is
+# rank-normalized ESS of β₀. Hand-tuned yardsticks: RWMH at the
+# Roberts-Rosenthal 2.38/√d·σ̂ scale, MALA at σ̂·d^(−1/6); the posterior
+# scale σ̂ ≈ 1.07 per dim (measured via the adapted inverse mass).
+
+LOGREG_CHAINS = 8192
+LOGREG_DIM = 32
+
+
+def _logreg_model():
+    from advancedmh_tpu.models.targets import logistic_regression_model
+
+    return logistic_regression_model(n_obs=256, dim=LOGREG_DIM, seed=0)
+
+
+def _logreg_inputs(model, with_grad=False):
+    params = jnp.zeros((LOGREG_DIM, LOGREG_CHAINS), jnp.float32)
+    consts = tuple(jnp.asarray(c) for c in model.tile_consts)
+    lp0 = model.tile_density(params, *consts)
+    if not with_grad:
+        return (params, lp0)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+    return (params, lp0, g0)
+
+
+def bench_ess_logreg_rwmh(model):
+    """Hand-tuned RWMH yardstick at d=32: scale 2.38/√32 · σ̂ ≈ 0.45."""
+    from advancedmh_tpu.ops import fused_rwmh_sample
+
+    args = _logreg_inputs(model)
+    build = lambda n, w: fused_rwmh_sample(
+        model.tile_density, d=LOGREG_DIM, scale=0.45, n_samples=n, burn=w,
+        thin=1, consts=model.tile_consts, tile_chains=1024,
+    )
+    return _ess_single_launch(build, args)
+
+
+def bench_ess_logreg_mala(model):
+    """Hand-tuned MALA yardstick at d=32: eps ≈ σ̂·d^(−1/6) ≈ 0.6,
+    s2 ≈ 0.36 (realized acceptance ≈ 0.5-0.7)."""
+    from advancedmh_tpu.ops.pallas_mala import fused_mala_sample
+
+    args = _logreg_inputs(model, with_grad=True)
+    build = lambda n, w: fused_mala_sample(
+        model.tile_density, d=LOGREG_DIM, step_size_sq=0.36, n_samples=n,
+        burn=w, thin=1, consts=model.tile_consts, tile_chains=512,
+    )
+    return _ess_single_launch(build, args, acc_band=(0.1, 0.98))
+
+
+def bench_ess_logreg_adaptive_hmc(model):
+    """No-knobs AdaptiveHMC at d=32 (joint per-chain ε + mass warmup)."""
+    from advancedmh_tpu.ops.pallas_hmc_adapt import fused_adaptive_hmc_sample
+
+    args = _logreg_inputs(model, with_grad=True)
+    build = lambda n, w: fused_adaptive_hmc_sample(
+        model.tile_density, d=LOGREG_DIM, n_samples=n, warmup=w,
+        n_leapfrog=8, initial_step_size=0.05, consts=model.tile_consts,
+        tile_chains=512,
+    )
+    return _ess_single_launch(build, args, acc_band=(0.1, 0.99))
+
+
+def bench_ess_logreg_chees(model):
+    """No-knobs ChEES at d=32 through the library fused pipeline."""
+    from advancedmh_tpu import ChEESHMC
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+    spl = ChEESHMC(initial_step_size=0.1, initial_trajectory_length=1.0,
+                   max_leapfrog=16)
+
+    def pipeline(n, k):
+        tr, _ = sample_fused_chees(
+            model, spl, n, key=jax.random.key(k),
+            num_chains=LOGREG_CHAINS, initial_params=jnp.zeros(LOGREG_DIM),
+            num_warmup=N_WARM, discard_initial=N_WARM, thinning=1,
+        )
+        float(tr.lp[0, -1])  # scalar-read fence
+        return tr
+
+    for k in (1, 2, 3):
+        pipeline(N_DRAWS, k)
+        pipeline(PROBE_DRAWS, k)
+    best_full, best_probe, best = float("inf"), float("inf"), None
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        tr = pipeline(N_DRAWS, k)
+        tf = time.perf_counter() - t0
+        if tf < best_full:
+            # Keep only the β₀ slice + acceptance: holding the full (C, N,
+            # d) result across trials is ~4 GB at d=32 and OOMs HBM.
+            best_full = tf
+            best = (
+                jnp.transpose(tr.params[:, :, 0]),
+                float(np.asarray(tr.accepted).mean()),
+            )
+        del tr
+        t0 = time.perf_counter()
+        pipeline(PROBE_DRAWS, k)
+        best_probe = min(best_probe, time.perf_counter() - t0)
+    mu, acc = best
+    assert 0.2 < acc < 0.99, f"degenerate ChEES acceptance {acc}"
+    b0_ess = float(ess(mu))
+    t_sampling = max(best_full - best_probe, 0.25 * best_full)
+    return b0_ess / t_sampling, b0_ess / best_full
+
+
 def main():
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
 
@@ -332,6 +450,23 @@ def main():
     ]:
         try:
             steady, amortized = fn(model)
+            ess_fields[field] = steady
+            ess_fields[field + "_amortized"] = amortized
+        except Exception as e:
+            print(f"{field} skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            ess_fields[field] = None
+
+    # Hard-target rows (VERDICT r4 #3): d=32 logistic regression.
+    logreg = _logreg_model()
+    for field, fn in [
+        ("ess_per_s_logreg32_rwmh", bench_ess_logreg_rwmh),
+        ("ess_per_s_logreg32_mala", bench_ess_logreg_mala),
+        ("ess_per_s_logreg32_adaptive_hmc", bench_ess_logreg_adaptive_hmc),
+        ("ess_per_s_logreg32_chees", bench_ess_logreg_chees),
+    ]:
+        try:
+            steady, amortized = fn(logreg)
             ess_fields[field] = steady
             ess_fields[field + "_amortized"] = amortized
         except Exception as e:
