@@ -1290,6 +1290,44 @@ class TestFusedChEES:
             np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
             np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
 
+    def test_fused_warmup_multi_tile_combine(self):
+        """The fused warmup's cross-tile combine (averaged scalars + exact
+        Welford merge from raw batch sums) is load-bearing at bench scale
+        (16384 chains = 4 tiles): at 8192 chains (2 tiles of 4096) the
+        combined state must be replicated, carry sane adapted values, and
+        the frozen phase must recover the posterior."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        res = sample(
+            model, spl, 500, key=21, num_chains=8192, engine="fused",
+            num_warmup=300, discard_initial=300,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.05)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.15)
+        st = res.final_state
+        # replicated combined statistics (every chain shares one value)
+        for leaf in (st.log_eps_bar, st.log_traj_bar):
+            assert np.ptp(np.asarray(leaf)) < 1e-6
+        im = np.asarray(st.inverse_mass)
+        assert np.ptp(im, axis=0).max() < 1e-6
+        # exact cross-tile Welford merge: the combined mass estimate must
+        # track the posterior variances
+        np.testing.assert_allclose(im[0], np.diag(SIG), rtol=0.3)
+        eps = float(np.exp(np.asarray(st.log_eps_bar)[0]))
+        assert 0.3 < eps < 3.0
+
     def test_fused_chees_funnel_d10(self):
         """d=10 Neal funnel: exercises the fused frozen kernel beyond d=2
         (vmem-capped tile selection) on the divergence-prone geometry —
