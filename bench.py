@@ -420,6 +420,78 @@ def bench_ess_logreg_chees(model):
     return b0_ess / t_sampling, b0_ess / best_full
 
 
+# ---------------------------------------------------------------------------
+# Geometry ESS/s: Neal's funnel d=10 (VERDICT r4 #3 stretch)
+#
+# The README/logreg targets have fixed curvature; the funnel's neck is the
+# canonical varying-curvature stress. ESS is rank-normalized ESS of v (the
+# log-scale coordinate — the hard direction). 8192 chains, same protocol.
+
+FUNNEL_DIM = 10
+FUNNEL_CHAINS = 8192
+
+
+def bench_ess_funnel_chees(model):
+    """No-knobs ChEES on the funnel through the library fused pipeline
+    (the geometry-test configuration, tests/test_pallas.py funnel test)."""
+    from advancedmh_tpu import ChEESHMC
+    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+    spl = ChEESHMC(initial_step_size=0.2, initial_trajectory_length=1.0,
+                   max_leapfrog=16)
+
+    def pipeline(n, k):
+        tr, _ = sample_fused_chees(
+            model, spl, n, key=jax.random.key(k),
+            num_chains=FUNNEL_CHAINS, initial_params=jnp.zeros(FUNNEL_DIM),
+            num_warmup=N_WARM, discard_initial=N_WARM, thinning=1,
+        )
+        float(tr.lp[0, -1])  # scalar-read fence
+        return tr
+
+    for k in (1, 2, 3):
+        pipeline(N_DRAWS, k)
+        pipeline(PROBE_DRAWS, k)
+    best_full, best_probe, best = float("inf"), float("inf"), None
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        tr = pipeline(N_DRAWS, k)
+        tf = time.perf_counter() - t0
+        if tf < best_full:
+            best_full = tf
+            best = (
+                jnp.transpose(tr.params[:, :, 0]),
+                float(np.asarray(tr.accepted).mean()),
+            )
+        del tr
+        t0 = time.perf_counter()
+        pipeline(PROBE_DRAWS, k)
+        best_probe = min(best_probe, time.perf_counter() - t0)
+    v, acc = best
+    assert 0.2 < acc < 0.99, f"degenerate funnel ChEES acceptance {acc}"
+    v_ess = float(ess(v))
+    t_sampling = max(best_full - best_probe, 0.25 * best_full)
+    return v_ess / t_sampling, v_ess / best_full
+
+
+def bench_ess_funnel_slice(model):
+    """SliceSampler on the funnel (width = 3, the marginal std of v —
+    slice sampling is the step-size-free alternative for necks)."""
+    from advancedmh_tpu.ops.pallas_slice import fused_slice_sample
+
+    params = jnp.zeros((FUNNEL_DIM, FUNNEL_CHAINS), jnp.float32)
+    lp0 = model.tile_density(params)
+    build = lambda n, w: fused_slice_sample(
+        model.tile_density, d=FUNNEL_DIM, width=3.0, n_samples=n, burn=w,
+        thin=1, max_stepout=8, max_shrink=24, consts=(),
+        tile_chains=1024,
+    )
+    # "accepted" for the slice sampler is the shrink-succeeded flag — 1.0
+    # means every step landed within budget, the healthy outcome.
+    return _ess_single_launch(build, (params, lp0), acc_band=(0.2, 1.001))
+
+
 def main():
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
 
@@ -467,6 +539,23 @@ def main():
     ]:
         try:
             steady, amortized = fn(logreg)
+            ess_fields[field] = steady
+            ess_fields[field + "_amortized"] = amortized
+        except Exception as e:
+            print(f"{field} skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            ess_fields[field] = None
+
+    # Geometry rows (VERDICT r4 #3 stretch): Neal's funnel d=10.
+    from advancedmh_tpu.models.targets import neal_funnel_model
+
+    funnel = neal_funnel_model(FUNNEL_DIM)
+    for field, fn in [
+        ("ess_per_s_funnel10_chees", bench_ess_funnel_chees),
+        ("ess_per_s_funnel10_slice", bench_ess_funnel_slice),
+    ]:
+        try:
+            steady, amortized = fn(funnel)
             ess_fields[field] = steady
             ess_fields[field + "_amortized"] = amortized
         except Exception as e:
