@@ -1290,6 +1290,34 @@ class TestFusedChEES:
             np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
             np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
 
+    def test_fused_warmup_adapt_mass_off(self):
+        """ChEESHMC(adapt_mass=False) on the fused warmup: the inverse
+        mass must stay identity through warmup and combine (the welford
+        branch is compiled out), and the posterior still recovers on the
+        near-unit-scale target."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8, adapt_mass=False,
+        )
+        res = sample(
+            model, spl, 500, key=22, num_chains=2048, engine="fused",
+            num_warmup=300, discard_initial=300,
+            initial_params=jnp.zeros(2),
+        )
+        im = np.asarray(res.final_state.inverse_mass)
+        np.testing.assert_array_equal(im, np.ones_like(im))
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+
     def test_fused_warmup_multi_tile_combine(self):
         """The fused warmup's cross-tile combine (averaged scalars + exact
         Welford merge from raw batch sums) is load-bearing at bench scale
