@@ -995,27 +995,43 @@ def fused_chees_warmup(
     # period-1 warmup schedule — the frozen phase is still jittered).
     e_w = max(e for e in range(1, 17) if num_warmup % e == 0)
     n_groups = num_warmup // e_w
-    ratio = sampler.initial_trajectory_length / sampler.initial_step_size
     us = tuple(vdc(j + 1) for j in range(e_w))
-    trips = tuple(max(1, min(max_l, round(u * ratio))) for u in us)
-    run = _chees_warmup_kernel_for(
-        tile_fn, consts, d, trips, us, n_groups, tile, sampler
-    )
-    seed = jax.random.randint(
-        jax.random.fold_in(key, 1), (), 0, 2**31 - 1, dtype=jnp.int32,
-    )
-    x, lp, g, acc, sv_wide, sumx_wide, sumx2_wide = run(
-        x, lp, g, sv, minv, seed
-    )
-    return _chees_warmup_combine(
-        sv_wide, sumx_wide, sumx2_wide, x, lp, g, acc, minv,
-        m_obs=float(c_pad * num_warmup),
-        adapt_mass=bool(sampler.adapt_mass),
-        reg=r,
-        warm_start=float(sampler.mass_warm_start),
-        num_chains=num_chains,
-        d=d,
-    )  # (wstate, sv (9, 1), minv (d, 1))
+    ratio = sampler.initial_trajectory_length / sampler.initial_step_size
+    # Schedule-consistency loop: with a badly misconfigured init ratio the
+    # static warmup trips execute the wrong trajectory lengths while T
+    # adapts live, so T̄ can run away to the clip (measured at R₀ = 1 on
+    # the README-class target: adapted ratio pinned at max_leapfrog,
+    # frozen phase ~3× the gradients per draw). If the adapted ratio
+    # lands > 3× off the staged one, re-run the warmup staged at the
+    # adapted ratio — a well-configured init (the normal case) stages
+    # consistently on the first launch and pays nothing.
+    for attempt in range(3):
+        trips = tuple(max(1, min(max_l, round(u * ratio))) for u in us)
+        run = _chees_warmup_kernel_for(
+            tile_fn, consts, d, trips, us, n_groups, tile, sampler
+        )
+        seed = jax.random.randint(
+            jax.random.fold_in(jax.random.fold_in(key, 1), attempt),
+            (), 0, 2**31 - 1, dtype=jnp.int32,
+        )
+        xo, lpo, go, acc, sv_wide, sumx_wide, sumx2_wide = run(
+            x, lp, g, sv, minv, seed
+        )
+        out = _chees_warmup_combine(
+            sv_wide, sumx_wide, sumx2_wide, xo, lpo, go, acc, minv,
+            m_obs=float(c_pad * num_warmup),
+            adapt_mass=bool(sampler.adapt_mass),
+            reg=r,
+            warm_start=float(sampler.mass_warm_start),
+            num_chains=num_chains,
+            d=d,
+        )  # (wstate, sv (9, 1), minv (d, 1))
+        svh = np.asarray(out[1])
+        ratio_hat = float(np.exp(svh[4, 0] - svh[1, 0]))
+        if ratio / 3.0 - 1.0 <= ratio_hat <= 3.0 * ratio + 1.0:
+            break
+        ratio = ratio_hat
+    return out
 
 
 _CHEES_FROZEN_KERNELS = {}

@@ -1318,6 +1318,39 @@ class TestFusedChEES:
         np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
         np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
 
+    def test_fused_warmup_bad_init_ratio_recovers(self):
+        """Schedule-consistency loop (r4): with a pathological init ratio
+        (T₀ = ε₀ → every staged warmup trip is 1 leapfrog) the first
+        launch's adapted T̄ runs away toward the max_leapfrog clip; the
+        launcher must detect the staged-vs-adapted mismatch, re-stage, and
+        land a sane ratio with healthy downstream draws."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.01, initial_trajectory_length=0.01,
+            max_leapfrog=16,
+        )
+        tr, st = sample_fused_chees(
+            model, spl, 600, key=jax.random.key(3), num_chains=4096,
+            initial_params=jnp.zeros(2), num_warmup=500,
+            discard_initial=500, thinning=1,
+        )
+        eps = float(np.exp(np.asarray(st.log_eps_bar)[0]))
+        t_bar = float(np.exp(np.asarray(st.log_traj_bar)[0]))
+        # without the consistency loop the ratio pins at max_leapfrog (16)
+        assert t_bar / eps < 8.0
+        assert 0.5 < eps < 3.0
+        draws = np.asarray(tr.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+
     def test_fused_warmup_multi_tile_combine(self):
         """The fused warmup's cross-tile combine (averaged scalars + exact
         Welford merge from raw batch sums) is load-bearing at bench scale
