@@ -1199,15 +1199,16 @@ def sample_fused_chees(
 
     Two stages (ops/pallas_chees.py has the rationale):
 
-    1. **Warmup** — by default (``warmup_engine="auto"``) the segmented
-       FUSED warmup (:func:`fused_chees_warmup`, r4): per-step live
-       adaptation with exact single-tile cross-chain reductions, static
-       per-block trip schedules. Falls back to the XLA engine
-       (``step_warmup_batched`` scanned at the full chain batch) when the
-       batch exceeds the single-tile VMEM gate, when a mesh is given (the
-       fused warmup's cross-chain reductions are tile-local, so sharded
-       warmup stays on XLA/GSPMD where they compile to psums), or with
-       ``warmup_engine="xla"``.
+    1. **Warmup** — by default (``warmup_engine="auto"``) the
+       single-launch FUSED warmup (:func:`fused_chees_warmup`, r4):
+       per-step live adaptation pooled exactly within each chain tile,
+       cross-tile combine afterwards, static trip schedule staged from
+       the initial T₀/ε₀ ratio with a consistency re-run if the adapted
+       ratio lands far off it. Falls back to the XLA engine
+       (``step_warmup_batched`` scanned at the full chain batch) when a
+       mesh is given (the fused warmup's pooling is tile-local, so
+       sharded warmup stays on XLA/GSPMD where the reductions compile to
+       psums) or with ``warmup_engine="xla"``.
     2. **Frozen phase on the fused Pallas kernel** — the two adapted
        scalars (ε̄, T̄) are host-staged (~ms transfer), the trajectory
        ratio is quantized to ``R = round(T̄/ε̄)``, and a deterministic
