@@ -1038,6 +1038,37 @@ _CHEES_FROZEN_KERNELS = {}
 _CHEES_POST = {}
 
 
+@jax.jit
+def _chees_stage_arrays(params, lp, grad):
+    """Jitted (C, ...)-state → kernel-layout staging (one dispatch)."""
+    return jnp.transpose(params), lp[None, :], jnp.transpose(grad)
+
+
+_CHEES_X0 = {}
+
+
+def _chees_x0_for(tile_fn, consts):
+    """Jitted initial (lp, grad) evaluation for the fused ChEES pipeline
+    (one dispatch instead of two on the amortized-critical path)."""
+    consts_key = tuple(
+        (np.asarray(c).tobytes(), np.asarray(c).shape) for c in consts
+    )
+    key = (tile_fn, consts_key)
+    if key not in _CHEES_X0:
+        const_args = tuple(jnp.asarray(c) for c in consts)
+
+        @jax.jit
+        def x0(x_t):
+            lp0 = tile_fn(x_t, *const_args)
+            g0 = jax.grad(
+                lambda xm: jnp.sum(tile_fn(xm, *const_args))
+            )(x_t)
+            return lp0, g0
+
+        _CHEES_X0[key] = x0
+    return _CHEES_X0[key]
+
+
 def _chees_post_for(tile_fn, consts):
     """Jitted output conversion for the fused ChEES engine: layout
     transposes of the ~0.5 GB emission buffers + the final-state gradient
@@ -1288,11 +1319,7 @@ def sample_fused_chees(
                 if init.ndim == 1
                 else jnp.asarray(init).T
             )
-            const_args0 = tuple(jnp.asarray(c) for c in consts)
-            lp00 = tile_fn(x_t0, *const_args0)
-            g00 = jax.grad(
-                lambda xm: jnp.sum(tile_fn(xm, *const_args0))
-            )(x_t0)
+            lp00, g00 = _chees_x0_for(tile_fn, consts)(x_t0)
             wstate, sv_dev, minv_dev = fused_chees_warmup(
                 tile_fn, consts, sampler, d, num_chains, key,
                 x_t0, lp00, g00, num_warmup,
@@ -1352,9 +1379,9 @@ def sample_fused_chees(
         )
         eps_arr = jnp.float32(eps_bar)
         minv_col = fast_stage[1]
-        x_t = jnp.transpose(wstate.inner.params)
-        lp0 = wstate.inner.lp[None, :]
-        g_t = jnp.transpose(wstate.inner.gradient)
+        x_t, lp0, g_t = _chees_stage_arrays(
+            wstate.inner.params, wstate.inner.lp, wstate.inner.gradient
+        )
     else:
         ratio, eps_arr, minv_col, x_t, lp0, g_t = chees_frozen_stage(
             sampler, wstate, d
