@@ -163,11 +163,9 @@ def _chees_adapt_step(
     """One ChEES warmup step on a chain tile: jittered trajectory (static
     ``L`` trips), MH accept, then per-step live adaptation — dual-averaged
     ε, Adam on log T (tile-exact acceptance-weighted ChEES gradient), and
-    (``welford=True``) per-tile pooled Welford mass. Shared by the warmup
-    block kernel (mass frozen per launch) and the combined warmup+frozen
-    kernel (live per-tile mass, needed because its frozen phase starts in
-    the same launch). Carry layout: ``(x, lp, grad, le, leb, hb, lT, lTb,
-    am, av, t, n, mean, m2, minv, sum1, sum2, acc_f)``."""
+    (``welford=True``, i.e. ``adapt_mass``) per-tile pooled Welford mass.
+    Carry layout: ``(x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
+    mean, m2, minv, sum1, sum2, acc_f)``."""
     (x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
      mean, m2, minv, sum1, sum2, acc_f) = carry
     d, tc = x.shape
@@ -312,18 +310,19 @@ def _chees_warmup_kernel(
     mass_reg: float,
     mass_warm_start: float,
 ):
-    """Fused ChEES warmup block: E·n_groups adaptation steps per chain
-    tile. Every adaptation statistic — mean acceptance, ChEES centering
-    means, Welford mass — updates per STEP with live values, computed
-    exactly over the tile's chains (tile-local pooling; a ≥1024-chain tile
-    gives far lower-variance statistics than the ChEES paper's ~100-chain
-    batches). Tiles adapt independently within a launch and the launcher
-    re-synchronizes them between launches (averaged scalars + exact
-    cross-tile Welford merge from the emitted batch moments) — the
-    "short fused blocks + tiny XLA combine" design of VERDICT r4 #1.
-    Only the leapfrog trip counts are static (staged by the launcher from
-    block-start T/ε — the one quantization this design trades for fully
-    static control flow). Tile width is VMEM-bound by the DENSITY's
+    """Fused ChEES warmup kernel: E·n_groups adaptation steps per chain
+    tile — normally the WHOLE warmup in one launch (every launch costs
+    ~24 ms of fixed tunnel dispatch). Every adaptation statistic — mean
+    acceptance, ChEES centering means, Welford mass — updates per STEP
+    with live values, computed exactly over the tile's chains (tile-local
+    pooling; a ≥1024-chain tile gives far lower-variance statistics than
+    the ChEES paper's ~100-chain batches). Tiles adapt independently
+    within the launch; the launcher combines them afterwards (averaged
+    scalars + exact cross-tile Welford merge from the emitted batch
+    moments). Only the leapfrog trip counts are static (staged by the
+    launcher from the launch-start T/ε ratio, with a consistency re-run
+    for pathological inits — the one quantization this design trades for
+    fully static control flow). Tile width is VMEM-bound by the DENSITY's
     per-eval intermediates (e.g. an (n_obs, TC) broadcast), not by the
     state: a single-tile variant at C = 16384 on the 30-obs README model
     overflowed the 16 MiB scoped-VMEM limit."""
@@ -453,22 +452,22 @@ def fused_chees_warmup_block(
     consts: Tuple[jax.Array, ...] = (),
     tile_chains: int = 2048,
 ):
-    """Build one fused ChEES warmup block (``len(trips)·n_groups`` steps
-    per chain tile).
+    """Build one fused ChEES warmup launch (``len(trips)·n_groups`` steps
+    per chain tile — normally the whole warmup).
 
     Call as ``run(x_T (d, C), lp (1, C), grad (d, C), sv (9, 1),
     minv (d, 1), seed)`` where ``sv`` packs the shared adaptation scalars
     ``[log_eps, log_eps_bar, h_bar, log_T, log_T_bar, adam_m, adam_v, t,
-    n]`` and ``minv`` is the block-frozen inverse mass (the launcher
-    re-estimates it at block boundaries from the emitted batch moments). Returns ``(x, lp, grad, acc,
+    n]`` and ``minv`` seeds the in-kernel per-tile Welford mass through
+    the warm-start guard. Returns ``(x, lp, grad, acc,
     sv_tiles (9, n_tiles·128), sum_x (d, n_tiles·128), sum_x2
     (d, n_tiles·128))`` — per-TILE adapted scalars and raw batch position
     moments (each tile's values replicated over its 128-lane stat block;
     read every 128th column), which the launcher combines across tiles
-    (averaged scalars + exact Welford merge) before the next block.
+    (averaged scalars + exact Welford merge).
 
     Kernel variants are keyed by ``(trips, us, n_groups)`` — the launcher
-    quantizes block-start T/ε into the static schedule, so only genuinely
+    quantizes launch-start T/ε into the static schedule, so only genuinely
     new ratios recompile (≙ the frozen kernel's R keying)."""
     consts = tuple(
         jnp.asarray(c, jnp.float32).reshape(-1, 1) if jnp.ndim(c) < 2 else
