@@ -260,6 +260,15 @@ def sample_fused_ram(
     via ``sample_chunked``) continue post-warmup with S frozen and require
     ``num_warmup == 0``, ``discard_initial == thinning``.
 
+    ``sampler.pooled=True`` runs the two-stage shape (≙ pooled AdaptiveHMC
+    / :func:`sample_fused_chees`, VERDICT r4 #1): the rank-C pooled Vihola
+    warmup (``samplers/ram.py::_adapt_pooled`` — its chain-axis reduction
+    spans grid tiles, so it stays on XLA/GSPMD where it compiles to a psum
+    under a mesh) adapts ONE shared S, which is then staged onto the same
+    frozen-S fused kernel the per-chain resume path uses. Post-warmup RAM
+    never adapts (≙ reference src/RobustAdaptiveMetropolis.jl:216-237), so
+    the staging changes no algorithm — only where the warmup runs.
+
     Schedule note: sample k is the state after ``num_warmup + k·thinning``
     steps — all ``num_warmup`` steps adapt (matching the XLA contract
     "steps j ≤ num_warmup use step_warmup"), and the first emit lands one
@@ -288,9 +297,13 @@ def sample_fused_ram(
         d = int(np.asarray(initial_params).shape[-1])
     tile_fn, consts = _tile_density_of(model)
     c_pad, tile = _fused_tiling(num_chains, tile_chains, mesh, mesh_axis, d=d)
+    # Pooled fresh runs take the two-stage shape (docstring): the rank-C
+    # Vihola warmup happens on XLA, so the kernel itself runs frozen-only.
+    pooled_fresh = bool(sampler.pooled) and initial_S is None and num_warmup >= 1
 
     run = _cached_engine(
-        fused_ram_sample, tile_fn, consts, d=d, n_samples=n_samples, warmup=num_warmup, thin=thinning,
+        fused_ram_sample, tile_fn, consts, d=d, n_samples=n_samples,
+        warmup=0 if pooled_fresh else num_warmup, thin=thinning,
         alpha=sampler.alpha, gamma=sampler.gamma,
         eigenvalue_lower_bound=sampler.eigenvalue_lower_bound,
         eigenvalue_upper_bound=sampler.eigenvalue_upper_bound,
@@ -299,26 +312,86 @@ def sample_fused_ram(
     if mesh is not None:
         run = _shard_fused(run, mesh, mesh_axis)
     run = _pad_chains(run, num_chains, c_pad)
-    init = jnp.asarray(initial_params, jnp.float32)
-    x_t = (
-        jnp.broadcast_to(init[:, None], (d, num_chains))
-        if init.ndim == 1
-        else jnp.asarray(init).T
-    )
     const_args = tuple(jnp.asarray(c) for c in consts)
-    lp0 = tile_fn(x_t, *const_args)
-    if initial_S is not None:  # (C, d, d) per-chain adapted factors
-        S0 = jnp.transpose(
-            jnp.asarray(initial_S, jnp.float32), (1, 2, 0)
-        ).reshape(d * d, num_chains)
+    if pooled_fresh:
+        # -- stage 1 (XLA): rank-C pooled Vihola warmup → ONE shared S ----
+        init = jnp.asarray(initial_params, jnp.float32)
+        init_b = (
+            jnp.broadcast_to(init, (num_chains, d))
+            if init.ndim == 1
+            else init
+        )
+        constrain = _chain_constrainer(mesh, mesh_axis)
+
+        @jax.jit
+        def warm(k):
+            _, state = jax.vmap(
+                lambda kk, x0: sampler.init(kk, model, x0)
+            )(jax.random.split(k, num_chains), init_b)
+            state = constrain(state)
+
+            def body(s, j):
+                _, s = sampler.step_warmup_batched(
+                    jax.random.fold_in(k, j), s, model, (num_chains,)
+                )
+                return s, None
+
+            state, _ = jax.lax.scan(
+                body, state, jnp.arange(1, num_warmup + 1)
+            )
+            return state
+
+        wstate = warm(key)
+        # _adapt_pooled broadcasts the one shared factor over the batch, so
+        # every chain's S is identical by construction — stage chain 0's.
+        x_t = jnp.transpose(jnp.asarray(wstate.x, jnp.float32))
+        lp0 = jnp.asarray(wstate.logprob, jnp.float32)[None, :]
+        S0 = jnp.broadcast_to(
+            jnp.asarray(wstate.S, jnp.float32)[0].reshape(d * d, 1),
+            (d * d, num_chains),
+        )
+        # Warmup consumed fold_in(key, 0..num_warmup); the frozen launch
+        # seeds from the first post-warmup index (≙ sample_fused_chees).
+        seed = jax.random.randint(
+            jax.random.fold_in(key, num_warmup + 1), (), 0, 2**31 - 1,
+            dtype=jnp.int32,
+        )
     else:
-        S0 = (
-            jnp.eye(d, dtype=jnp.float32)
-            if sampler.S is None
-            else jnp.tril(jnp.asarray(sampler.S, jnp.float32))
-        ).reshape(d * d, 1)
-        S0 = jnp.broadcast_to(S0, (d * d, num_chains))
-    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+        lp0 = tile_fn(x_t, *const_args)
+        if initial_S is not None:  # (C, d, d) per-chain adapted factors
+            S_in = jnp.asarray(initial_S, jnp.float32)
+            if sampler.pooled:
+                # Pooled resume expects the replicated S a pooled warmup
+                # produces; a per-chain-adapted state must raise, not
+                # silently run 16384 different factors under a pooled=True
+                # sampler (≙ the pooled AdaptiveHMC resume guard).
+                spread = float(
+                    jnp.max(jnp.max(S_in, axis=0) - jnp.min(S_in, axis=0))
+                )
+                if spread > 1e-5:
+                    raise ValueError(
+                        "fused pooled RAM resume needs the replicated "
+                        "(shared) S a pooled warmup produces, but this "
+                        "state carries per-chain factors (spread "
+                        f"{spread:.3g}) - it was warmed with pooled=False. "
+                        "Resume with a pooled=False sampler or use the "
+                        "XLA engine."
+                    )
+            S0 = jnp.transpose(S_in, (1, 2, 0)).reshape(d * d, num_chains)
+        else:
+            S0 = (
+                jnp.eye(d, dtype=jnp.float32)
+                if sampler.S is None
+                else jnp.tril(jnp.asarray(sampler.S, jnp.float32))
+            ).reshape(d * d, 1)
+            S0 = jnp.broadcast_to(S0, (d * d, num_chains))
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     samples, lps, accs, S_final = run(x_t, lp0, S0, seed)
     _fence_launch(samples)
 
@@ -362,7 +435,15 @@ def sample_fused_am(
     straight back into the kernel — unlike RAM there is no frozen phase.
 
     Also serves :class:`DRAM` (ops/pallas_dram.py): identical state plumbing,
-    the kernel swaps the mixture step for the two-stage DR step."""
+    the kernel swaps the mixture step for the two-stage DR step.
+
+    ``pooled=True`` deliberately raises (docs/design.md §8): the AM/DRAM
+    ergodicity contract keeps the shared Σ adapting on EVERY post-warmup
+    step, and that chain-axis Welford merge spans grid tiles — there is no
+    frozen stage to stage onto a kernel (unlike RAM, whose S freezes). A
+    tile-local approximation would silently change the algorithm; the XLA
+    engine runs pooled AM/DRAM exactly (the merge compiles to a psum under
+    a mesh)."""
     import math as _math
 
     from ..ops.pallas_am import fused_am_sample
@@ -370,6 +451,16 @@ def sample_fused_am(
     from ..samplers.am import AdaptiveMetropolisState
     from ..samplers.dram import DRAM as _DRAM
 
+    if sampler.pooled:
+        raise ValueError(
+            "engine='fused' does not support pooled "
+            f"{type(sampler).__name__}: pooled AM/DRAM keep adapting the "
+            "ONE shared covariance on every post-warmup step (the AM "
+            "ergodicity contract), and that cross-chain Welford merge "
+            "spans kernel tiles - there is no frozen stage to stage "
+            "(unlike pooled RAM, whose S freezes after warmup). Use the "
+            "XLA engine, which runs the pooled merge exactly."
+        )
     if initial_params is None:
         raise ValueError("engine='fused' requires initial_params")
     d = model.dimension

@@ -182,15 +182,22 @@ class AdaptiveMetropolis(Sampler):
         n = state.iteration.reshape(-1)[0].astype(dt)
         mean0 = state.mean.reshape(-1, d)[0]
         L0 = state.L.reshape(-1, d, d)[0]
+        # Precision.HIGHEST on both matmuls: the TPU default truncates dot
+        # operands to bf16, and the L→M2→chol round-trip happens EVERY step
+        # — a 2⁻⁸ relative jitter on the running covariance each iteration
+        # (cf. the pooled-RAM adaptation freeze, samplers/ram.py). Both are
+        # cheap next to the density eval.
+        HIGH = jax.lax.Precision.HIGHEST
         b_mean = jnp.mean(flat, axis=0)
         centered = flat - b_mean
-        M2_b = centered.T @ centered  # chain-axis reduction → psum under GSPMD
+        # chain-axis reduction → psum under GSPMD
+        M2_b = jnp.matmul(centered.T, centered, precision=HIGH)
         delta = b_mean - mean0
         n_new = n + C
         mean_new = mean0 + (C / n_new) * delta
         # Σ = M2/n with the C₀ seed as one pseudo-observation (init); the
         # seed keeps M2 strictly PD so the refactorization cannot fail.
-        M2 = n * (L0 @ L0.T)
+        M2 = n * jnp.matmul(L0, L0.T, precision=HIGH)
         M2_new = M2 + M2_b + (n * C / n_new) * jnp.outer(delta, delta)
         L_new = jnp.linalg.cholesky(M2_new / n_new)
         return (

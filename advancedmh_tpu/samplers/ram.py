@@ -226,7 +226,17 @@ class RobustAdaptiveMetropolis(Sampler):
         W = mean_c Δα_c û_c û_cᵀ, û = U/‖U‖. ‖W‖₂ ≤ max(α, 1−α) < 1 and
         η ≤ 1, so I + η·W is always PD and the d×d refactorization cannot
         fail; S' = S·chol(I+ηW) stays lower-triangular. One (d,C)·(C,d)
-        matmul + one d×d Cholesky per step, shared across all chains."""
+        matmul + one d×d Cholesky per step, shared across all chains.
+
+        Both matmuls run at ``Precision.HIGHEST``: the TPU default truncates
+        dot operands to bf16, and chol(I + ηW) is within bf16's 2⁻⁸ spacing
+        of I as soon as η·‖W‖ < ~4e-3 (η = t^−0.6 reaches that by t ≈ 100 on
+        target) — the truncated factor rounds to exactly I and adaptation
+        silently FREEZES mid-warmup (observed on hardware: S stalled at
+        65% of its converged scale, frozen-phase acceptance 0.375 vs the
+        0.234 target). The matmuls are (d,C)·(C,d) and d×d — negligible
+        next to the density eval at 3× pass cost."""
+        HIGH = jax.lax.Precision.HIGHEST
         d = U.shape[-1]
         Uf = U.reshape(-1, d)
         la = logalpha.reshape(-1)
@@ -236,9 +246,10 @@ class RobustAdaptiveMetropolis(Sampler):
         eta = jnp.power(state.iteration.reshape(-1)[0].astype(dt), -self.gamma)
         dalpha = jnp.exp(la) - self.alpha  # (C,)
         u = Uf / jnp.linalg.norm(Uf, axis=-1, keepdims=True)
-        W = (u * dalpha[:, None]).T @ u / C  # chain reduction → psum on mesh
+        # chain reduction → psum on mesh
+        W = jnp.matmul((u * dalpha[:, None]).T, u, precision=HIGH) / C
         M = jnp.eye(d, dtype=dt) + eta * W
-        S_new = S0 @ jnp.linalg.cholesky(M)
+        S_new = jnp.matmul(S0, jnp.linalg.cholesky(M), precision=HIGH)
         valid = self._valid_eigenvalues(S_new)
         S_final = jnp.where(valid, S_new, S0)
         batch = state.S.shape[:-2]

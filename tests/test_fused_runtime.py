@@ -224,6 +224,44 @@ class TestFusedDispatchGuards:
                    engine="fused", initial_state=res.final_state,
                    num_warmup=0, discard_initial=1)
 
+    def test_pooled_am_rejected(self):
+        """Pooled AM keeps adapting the shared Σ after warmup (the AM
+        ergodicity contract) — no frozen stage exists to stage onto a
+        kernel, so engine='fused' must raise loudly (design.md §8), never
+        silently run 1024 per-chain covariances under pooled=True."""
+        from advancedmh_tpu import AdaptiveMetropolis, sample
+
+        with pytest.raises(ValueError, match="pooled"):
+            sample(self._model(), AdaptiveMetropolis(pooled=True), 10,
+                   key=0, num_chains=1024, engine="fused",
+                   initial_params=jnp.zeros(2))
+
+    def test_pooled_dram_rejected(self):
+        from advancedmh_tpu import DRAM, sample
+
+        with pytest.raises(ValueError, match="pooled"):
+            sample(self._model(), DRAM(pooled=True), 10, key=0,
+                   num_chains=1024, engine="fused",
+                   initial_params=jnp.zeros(2))
+
+    def test_pooled_ram_per_chain_state_rejected(self):
+        """Fused pooled RAM resume stages ONE shared S; a per-chain-adapted
+        state (pooled=False warmup) must raise, not silently run whichever
+        factors it carries (≙ the pooled AdaptiveHMC resume guard)."""
+        from advancedmh_tpu import RobustAdaptiveMetropolis, sample
+
+        per_chain = RobustAdaptiveMetropolis()  # pooled=False warmup
+        res = sample(self._model(), per_chain, 5, key=0, num_chains=4,
+                     num_warmup=30, discard_initial=30,
+                     initial_params=jnp.asarray([[0.1, -0.2], [0.4, 0.3],
+                                                 [-0.5, 0.2], [0.2, 0.6]]),
+                     initial_params_batched=True)
+        pooled = RobustAdaptiveMetropolis(pooled=True)
+        with pytest.raises(ValueError, match="replicated"):
+            sample(self._model(), pooled, 5, key=0, num_chains=4,
+                   engine="fused", initial_state=res.final_state,
+                   num_warmup=0, discard_initial=1)
+
     def test_hmc_multinomial_rejected(self):
         from advancedmh_tpu import HamiltonianMC, sample
 

@@ -96,6 +96,66 @@ class TestFusedRWMH:
         corr = SS[0, 1] / np.sqrt(SS[0, 0] * SS[1, 1])
         assert abs(corr - 0.5) < 0.1
 
+    def test_sample_engine_fused_ram_pooled(self):
+        """Pooled RAM on the two-stage fused engine (r5, VERDICT r4 #1):
+        the XLA rank-C Vihola warmup adapts ONE shared S, which is staged
+        onto the frozen-S fused kernel. Asserts the replicated factor —
+        the silent per-chain fallback this configuration used to take
+        would fail the replication check — plus the Vihola acceptance and
+        covariance contracts."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import RobustAdaptiveMetropolis, sample
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample(
+            model, RobustAdaptiveMetropolis(pooled=True), 4000, key=5,
+            num_chains=2048, engine="fused", num_warmup=2000,
+            discard_initial=2000, initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.1, atol=0.05)
+        acc = np.asarray(res.transitions.accepted).mean()
+        assert abs(acc - 0.234) < 0.05
+        # ONE shared factor: every chain carries the identical S, and it
+        # reproduces the target covariance shape (the rank-C update's
+        # variance is ~C× smaller, though the η(t) step-size schedule still
+        # sets the acceptance-matching timescale — hence 2000 steps, as in
+        # the per-chain fused test).
+        S = np.asarray(res.final_state.S)  # (C, 2, 2), replicated
+        assert np.ptp(S.reshape(S.shape[0], -1), axis=0).max() < 1e-5
+        SS = S[0] @ S[0].T
+        corr = SS[0, 1] / np.sqrt(SS[0, 0] * SS[1, 1])
+        assert abs(corr - 0.5) < 0.1
+
+    def test_chunked_fused_ram_pooled_resume(self):
+        """Chunked pooled fused RAM: chunk 1 runs the two-stage engine,
+        chunk 2 passes the replication guard and continues frozen with the
+        same shared S."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import RobustAdaptiveMetropolis
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        res = sample_chunked(
+            model, RobustAdaptiveMetropolis(pooled=True), 2000,
+            chunk_size=1000, key=6, num_chains=2048, engine="fused",
+            num_warmup=500, discard_initial=500,
+            initial_params=jnp.zeros(2),
+        )
+        draws = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert draws.shape == (2000 * 2048, 2)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, rtol=0.1, atol=0.05)
+        S = np.asarray(res.final_state.S)
+        assert np.ptp(S.reshape(S.shape[0], -1), axis=0).max() < 1e-5
+
     def test_sample_engine_fused_am(self):
         """Fused AM engine: RR09 mixture + Welford Cholesky adaptation
         recovers the correlated target and learns its covariance shape."""
