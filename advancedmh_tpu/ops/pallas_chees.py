@@ -159,13 +159,22 @@ def _chees_adapt_step(
     value_and_grad, L, u, carry, *,
     target, t0, kappa, gamma, mu, lr, b1, b2, log_b1, log_b2,
     max_leapfrog, welford, mass_reg, mass_warm_start,
+    mask=None, cv=None,
 ):
     """One ChEES warmup step on a chain tile: jittered trajectory (static
     ``L`` trips), MH accept, then per-step live adaptation — dual-averaged
     ε, Adam on log T (tile-exact acceptance-weighted ChEES gradient), and
     (``welford=True``, i.e. ``adapt_mass``) per-tile pooled Welford mass.
     Carry layout: ``(x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
-    mean, m2, minv, sum1, sum2, acc_f)``."""
+    mean, m2, minv, sum1, sum2, acc_f)``.
+
+    ``mask``/``cv`` (a ``(1, tc)`` 0/1 lane row and its ``(1, 1)`` sum) are
+    set on the last tile of a ragged chain count: the launcher edge-pads
+    the batch to the tile multiple, and without the mask the cloned lanes
+    would enter every pooled reduction with double weight (VERDICT r4 #5).
+    Padded lanes still step (their draws are trimmed later) but contribute
+    ZERO to the adaptation statistics, and every count divides by ``cv``
+    instead of the tile width."""
     (x, lp, grad, le, leb, hb, lT, lTb, am, av, t, n,
      mean, m2, minv, sum1, sum2, acc_f) = carry
     d, tc = x.shape
@@ -218,13 +227,17 @@ def _chees_adapt_step(
         ) < 1e10
     )
     hf = healthy.astype(jnp.float32)
+    xh = jnp.where(healthy, x, 0.0)
+    yh = jnp.where(healthy, y, 0.0)
+    if mask is not None:
+        w_r, hf_r, xh, yh = w * mask, hf * mask, xh * mask, yh * mask
+        Cn = cv
+    else:
+        w_r, hf_r, Cn = w, hf, C
     # ---- merged cross-lane reductions, round 1 ----
-    cat1 = jnp.concatenate(
-        [w, hf, jnp.where(healthy, x, 0.0), jnp.where(healthy, y, 0.0)],
-        axis=0,
-    )  # (2 + 2d, tc)
+    cat1 = jnp.concatenate([w_r, hf_r, xh, yh], axis=0)  # (2 + 2d, tc)
     s1 = jnp.sum(cat1, axis=1, keepdims=True)
-    w_mean = s1[0:1] / C
+    w_mean = s1[0:1] / Cn
     cnt = jnp.maximum(s1[1:2], 1.0)
     mean0c = s1[2:2 + d] / cnt
     mean1c = s1[2 + d:2 + 2 * d] / cnt
@@ -241,12 +254,13 @@ def _chees_adapt_step(
         x0c * x0c, axis=0, keepdims=True
     )
     dot = jnp.sum(x1c * (p1 * minv), axis=0, keepdims=True)
-    contrib = w * delta * dot * hf
+    contrib = w * delta * dot * hf_r  # hf_r carries the lane mask
     contrib = jnp.where(jnp.abs(contrib) < 1e30, contrib, 0.0)
+    x_r = x_new * mask if mask is not None else x_new
     # ---- merged cross-lane reductions, round 2: ChEES gradient pieces +
     # this step's raw position moments ----
     cat2 = jnp.concatenate(
-        [contrib, w * hf, x_new, x_new * x_new], axis=0
+        [contrib, w * hf_r, x_r, x_r * x_r], axis=0
     )  # (2 + 2d, tc)
     s2 = jnp.sum(cat2, axis=1, keepdims=True)
     num = s2[0:1]
@@ -272,12 +286,12 @@ def _chees_adapt_step(
     if welford:
         # Per-tile pooled Welford advance from this step's batch moments
         # (Chan–Golub–LeVeque; ≙ samplers/chees.py::_welford_pooled).
-        b_mean = step_sx / C
-        m2_b = step_sx2 - step_sx * step_sx / C
-        n_new = n + C
+        b_mean = step_sx / Cn
+        m2_b = step_sx2 - step_sx * step_sx / Cn
+        n_new = n + Cn
         dlt = b_mean - mean
-        mean = mean + (C / n_new) * dlt
-        m2 = m2 + m2_b + (n * C / n_new) * dlt * dlt
+        mean = mean + (Cn / n_new) * dlt
+        m2 = m2 + m2_b + (n * Cn / n_new) * dlt * dlt
         n = n_new
         var = m2 / jnp.maximum(n - 1.0, 1.0)
         est = (n / (n + mass_reg)) * var + 1e-3 * (
@@ -309,6 +323,7 @@ def _chees_warmup_kernel(
     adapt_mass: bool,
     mass_reg: float,
     mass_warm_start: float,
+    valid_chains=None,
 ):
     """Fused ChEES warmup kernel: E·n_groups adaptation steps per chain
     tile — normally the WHOLE warmup in one launch (every launch costs
@@ -370,7 +385,16 @@ def _chees_warmup_kernel(
     # combine replaces it with the exact cross-tile global estimate.
     sum1, sum2 = ssum[:], ssum2[:]
     acc_f = jnp.zeros((1, tc), jnp.float32)
+    if valid_chains is None:
+        mask = cv = None
+    else:
+        # Ragged chain count (VERDICT r4 #5): zero the edge-padded clone
+        # lanes out of every pooled reduction. Only the last tile has any.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1) + i * tc
+        mask = (lane < valid_chains).astype(jnp.float32)
+        cv = jnp.sum(mask, axis=1, keepdims=True)
     statics = dict(
+        mask=mask, cv=cv,
         target=target, t0=t0, kappa=kappa, gamma=gamma, mu=mu, lr=lr,
         b1=b1, b2=b2,
         log_b1=math.log(b1) if b1 > 0.0 else -1e30,
@@ -451,9 +475,15 @@ def fused_chees_warmup_block(
     mass_warm_start: int,
     consts: Tuple[jax.Array, ...] = (),
     tile_chains: int = 2048,
+    valid_chains=None,
 ):
     """Build one fused ChEES warmup launch (``len(trips)·n_groups`` steps
     per chain tile — normally the whole warmup).
+
+    ``valid_chains`` (static, default None = all lanes real) marks a
+    ragged batch: lanes with global index ≥ ``valid_chains`` are
+    edge-padding clones and are masked out of every pooled adaptation
+    statistic (their draws still step and are trimmed by the launcher).
 
     Call as ``run(x_T (d, C), lp (1, C), grad (d, C), sv (9, 1),
     minv (d, 1), seed)`` where ``sv`` packs the shared adaptation scalars
@@ -499,6 +529,9 @@ def fused_chees_warmup_block(
         adapt_mass=bool(adapt_mass),
         mass_reg=float(mass_regularization),
         mass_warm_start=float(mass_warm_start),
+        valid_chains=(
+            None if valid_chains is None else int(valid_chains)
+        ),
     )
 
     @jax.jit

@@ -1350,6 +1350,59 @@ class TestFusedChEES:
             np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
             np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
 
+    def test_fused_warmup_ragged_chain_masking(self):
+        """Ragged chain count (r5, VERDICT r4 #5): 1000 chains edge-pad to
+        the 1024-lane tile, and the 24 clone lanes must be masked OUT of
+        every pooled adaptation statistic (they still step; their draws
+        are trimmed). The fused warmup at C=1000 must land in the same
+        adapted band as the same-C XLA warmup, the combine must count
+        m_obs = C·W real observations, and the trimmed draws must recover
+        the posterior."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        kw = dict(
+            key=jax.random.key(17), num_chains=1000,
+            initial_params=jnp.zeros(2), num_warmup=400,
+            discard_initial=400, thinning=1,
+        )
+        tr_f, st_f = sample_fused_chees(
+            model, spl, 600, warmup_engine="fused", **kw
+        )
+        tr_x, st_x = sample_fused_chees(
+            model, spl, 600, warmup_engine="xla", **kw
+        )
+        assert tr_f.params.shape == (1000, 600, 2)
+
+        def adapted(st):
+            return (
+                float(np.exp(np.asarray(st.log_eps_bar).reshape(-1)[0])),
+                float(np.exp(np.asarray(st.log_traj_bar).reshape(-1)[0])),
+                np.asarray(st.inverse_mass).reshape(-1, 2)[0],
+            )
+
+        eps_f, t_f, minv_f = adapted(st_f)
+        eps_x, t_x, minv_x = adapted(st_x)
+        assert 0.6 < eps_f / eps_x < 1.6
+        assert 0.4 < t_f / t_x < 2.5
+        np.testing.assert_allclose(minv_f, minv_x, rtol=0.35)
+        # the Welford count in the combined state counts REAL chains only
+        # (unmasked clone lanes would report 1024·400)
+        assert abs(float(np.asarray(st_f.n).reshape(-1)[0]) - 1000 * 400) < 1
+        draws = np.asarray(tr_f.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.08)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.2)
+
     def test_fused_warmup_adapt_mass_off(self):
         """ChEESHMC(adapt_mass=False) on the fused warmup: the inverse
         mass must stay identity through warmup and combine (the welford
