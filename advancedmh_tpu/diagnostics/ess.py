@@ -99,7 +99,15 @@ def _rank_normalize(x: jax.Array) -> jax.Array:
     ranks = jnp.empty_like(flat).at[order].set(
         jnp.arange(1, s + 1, dtype=x.dtype)
     )
-    z = jax.scipy.special.ndtri((ranks - 0.375) / (s + 0.25))
+    p = (ranks - 0.375) / (s + 0.25)
+    # f32 guard: for s > 2²⁴ the top fractional ranks round to exactly 1.0
+    # and Φ⁻¹ returns +inf, which poisons the FFT autocovariance and
+    # collapses τ to its clamp — ESS then reads as N·C/1e-6 (first hit at
+    # the 4000-draw × 16384-chain bench batch). Clip into the widest open
+    # interval f32 resolves around (0, 1); the extreme-tail scores
+    # saturate at |z| ≈ 5.1, irrelevant for the autocorrelation analysis.
+    tiny = jnp.asarray(1.5e-7, p.dtype)
+    z = jax.scipy.special.ndtri(jnp.clip(p, tiny, 1.0 - tiny))
     return z.reshape(n, c)
 
 

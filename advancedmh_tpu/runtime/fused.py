@@ -1320,8 +1320,16 @@ def sample_fused_chees(
     warmup_engine: str = "auto",
     mesh=None,
     mesh_axis: str = "chains",
+    stage_clock=None,
 ):
     """Fused ChEES-HMC engine: fused (or XLA) warmup + fused frozen phase.
+
+    ``stage_clock`` (optional dict) receives host-measured per-stage wall
+    times: ``warmup_s`` (stage 1 + staging — fenced by the staging host
+    pull) and ``sampling_s`` (the frozen launch, fenced by the dependent
+    scalar read). This is how bench.py publishes a TRUE steady-state
+    number (VERDICT r4 #2): the stage boundary is timed directly instead
+    of inferred from a floored probe subtraction.
 
     Two stages (ops/pallas_chees.py has the rationale):
 
@@ -1358,10 +1366,13 @@ def sample_fused_chees(
     phase is re-staged from the saved (ε̄, T̄, M⁻¹) — same integer ratio →
     same compiled kernel across chunks. Requires the chunk-resume schedule
     (``num_warmup=0``, ``discard_initial=thinning``, ≙ fused RAM)."""
+    import time as _time
+
     from ..ops.pallas_chees import halton_trips
     from ..samplers.base import GradientTransition
     from ..utils import replace as _replace
 
+    t_start = _time.perf_counter()
     if initial_state is not None:
         if num_warmup != 0 or discard_initial != thinning:
             raise ValueError(
@@ -1498,8 +1509,13 @@ def sample_fused_chees(
         jax.random.fold_in(key, num_warmup + 1), (), 0, 2**31 - 1,
         dtype=jnp.int32,
     )
+    t_frozen = _time.perf_counter()
     samples, lps, accs = run(x_t, lp0, g_t, seed)
     _fence_launch(samples)
+    if stage_clock is not None:
+        now = _time.perf_counter()
+        stage_clock["warmup_s"] = t_frozen - t_start
+        stage_clock["sampling_s"] = now - t_frozen
 
     params, lp, accepted, grad_last = _chees_post_for(tile_fn, consts)(
         samples, lps, accs

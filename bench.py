@@ -20,21 +20,28 @@ processes one chip replaces.
 Every ``ess_per_s_mu*`` field is measured by the SAME protocol (no more
 per-sampler warmup accounting): 16384 chains on the README 2-param Gaussian
 model, ``N_WARM = 500`` adaptation/burn-in steps followed by ``N_DRAWS =
-4000`` emitted draws, rank-normalized ESS of μ, best-of-3 fence-timed trials
-(single-shot tunnel timings occasionally read 2x low).
+4000`` emitted draws, best-of-3 fence-timed trials (single-shot tunnel
+timings occasionally read 2x low). The ESS metric is **rank-normalized bulk
+ESS** (``diagnostics.ess_bulk``, Vehtari et al. 2021 eq. 14 — the one
+metric across every field; r5, VERDICT r4 #3).
 
-Two numbers per sampler:
+Two numbers (plus a flag) per sampler:
 
 - ``ess_per_s_mu_<s>`` — **steady-state** ESS/s: ESS of the N draws over
   the *sampling-phase* time only (the Stan/published-benchmark convention).
   For single-launch fused engines the sampling time is measured as
   ``t(full launch) − t(warmup-probe launch)`` — the probe runs the same
   warmup plus a minimal emission block, so the subtraction cancels both the
-  adaptation steps and the fixed launch overhead. The fused ChEES pipeline
-  (r4: single-launch fused warmup + frozen kernel) is timed the same way —
-  full pipeline vs probe pipeline. The 25%-of-full floor on the subtraction
-  means a sampler whose true sampling phase is under a quarter of its
-  pipeline reports a floor-limited LOWER bound.
+  adaptation steps and the fixed launch overhead. The 25%-of-full floor on
+  the subtraction means a sampler whose true sampling phase is under a
+  quarter of its launch would report a floor-limited LOWER bound — the
+  companion ``_floored`` flag records when that happened (r5, VERDICT r4
+  #2), so every published number is self-describing.
+  The ChEES rows do NOT use the probe: the two-stage library pipeline
+  exposes its stage boundary (``sample_fused_chees(stage_clock=...)``), so
+  the frozen launch is timed DIRECTLY — a true measurement, never floored
+  (conservative by its own ~24 ms fixed launch dispatch, which the
+  probe-subtraction rows cancel).
 - ``ess_per_s_mu_<s>_amortized`` — ESS over the FULL timed pipeline
   (adaptation + sampling): what one complete cold run of this size buys.
 
@@ -149,9 +156,11 @@ def _ess_single_launch(build, args, acc_band=(0.05, 0.98)):
     accepted, ...)``. Times a full launch (N_WARM + N_DRAWS) and a
     warmup-probe launch (N_WARM + PROBE_DRAWS); their difference is the
     sampling-phase time with launch overhead cancelled (module docstring).
-    Returns (steady, amortized) ESS/s of μ.
+    Returns (steady, amortized, floored) — ESS/s of μ plus whether the
+    25%-of-full floor clipped the probe subtraction (steady is then a
+    lower bound, not a measurement).
     """
-    from advancedmh_tpu.diagnostics import ess
+    from advancedmh_tpu.diagnostics import ess_bulk
 
     run_full = build(N_DRAWS, N_WARM)
     run_probe = build(PROBE_DRAWS, N_WARM)
@@ -172,11 +181,12 @@ def _ess_single_launch(build, args, acc_band=(0.05, 0.98)):
     samples, accs = out[0], out[2]
     acc = float(accs.mean())
     assert acc_band[0] < acc < acc_band[1], f"degenerate acceptance {acc}"
-    mu_ess = float(ess(samples[:, 0, :]))
+    mu_ess = float(ess_bulk(samples[:, 0, :]))
     # Floor the subtraction at 25% of t_full so a noisy probe can never
-    # manufacture an absurd steady-state number.
+    # manufacture an absurd steady-state number; report when it engaged.
+    floored = (t_full - t_probe) < 0.25 * t_full
     t_sampling = max(t_full - t_probe, 0.25 * t_full)
-    return mu_ess / t_sampling, mu_ess / t_full
+    return mu_ess / t_sampling, mu_ess / t_full, floored
 
 
 def _readme_inputs(model):
@@ -258,25 +268,22 @@ def bench_ess_per_s_adaptive_hmc(model):
     )
 
 
-def bench_ess_per_s_chees(model):
-    """No-knobs ChEES-HMC through the LIBRARY fused pipeline (r4): ONE
-    Pallas launch runs the whole warmup with per-step live tile-pooled
-    adaptation, then the frozen kernel with the host-staged static Halton
-    trajectory schedule. Timed like every other single-launch engine:
-    ``t(full) − t(probe)`` cancels the warmup AND the fixed per-launch
-    dispatch costs (same convention as the other samplers' rows)."""
-    from advancedmh_tpu import ChEESHMC
-    from advancedmh_tpu.diagnostics import ess
+def _ess_staged_chees(model, spl, n_chains, init, diag_coord=0):
+    """ChEES harness riding the library fused pipeline with its stage
+    clock (VERDICT r4 #2): steady-state = ESS / t(frozen launch) — the
+    stage boundary timed DIRECTLY by ``sample_fused_chees(stage_clock=)``,
+    no probe subtraction, never floored (conservative by the launch's own
+    ~24 ms fixed dispatch); amortized = ESS / t(full pipeline). Keeps only
+    the diagnosed coordinate slice per trial (a full (C, N, d) result held
+    across trials is ~4 GB at d=32 and OOMs HBM)."""
+    from advancedmh_tpu.diagnostics import ess_bulk
     from advancedmh_tpu.runtime.fused import sample_fused_chees
 
-    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
-                   max_leapfrog=16)
-
-    def pipeline(n, k):
+    def pipeline(n, k, clock=None):
         tr, _ = sample_fused_chees(
-            model, spl, n, key=jax.random.key(k), num_chains=N_CHAINS,
-            initial_params=jnp.asarray([0.0, 1.0]), num_warmup=N_WARM,
-            discard_initial=N_WARM, thinning=1,
+            model, spl, n, key=jax.random.key(k), num_chains=n_chains,
+            initial_params=init, num_warmup=N_WARM,
+            discard_initial=N_WARM, thinning=1, stage_clock=clock,
         )
         float(tr.lp[0, -1])  # scalar-read fence
         return tr
@@ -284,25 +291,40 @@ def bench_ess_per_s_chees(model):
     # Pre-compile every trial's ratio variants (warmup is deterministic
     # per key, so the staged frozen schedule is too).
     for k in (1, 2, 3):
-        pipeline(N_DRAWS, k)
-        pipeline(PROBE_DRAWS, k)
-
-    best_full, best_probe, best_tr = float("inf"), float("inf"), None
-    for k in (1, 2, 3):
-        t0 = time.perf_counter()
         tr = pipeline(N_DRAWS, k)
-        tf = time.perf_counter() - t0
+        del tr
+    best_full, best_sampling, best = float("inf"), None, None
+    for k in (1, 2, 3):
+        clock = {}
         t0 = time.perf_counter()
-        pipeline(PROBE_DRAWS, k)
-        tp = time.perf_counter() - t0
+        tr = pipeline(N_DRAWS, k, clock)
+        tf = time.perf_counter() - t0
         if tf < best_full:
-            best_full, best_tr = tf, tr
-        best_probe = min(best_probe, tp)
-    acc = float(np.asarray(best_tr.accepted).mean())
+            best_full, best_sampling = tf, clock["sampling_s"]
+            best = (
+                jnp.transpose(tr.params[:, :, diag_coord]),
+                float(np.asarray(tr.accepted).mean()),
+            )
+        del tr
+    coord, acc = best
     assert 0.2 < acc < 0.99, f"degenerate ChEES acceptance {acc}"
-    mu_ess = float(ess(jnp.transpose(best_tr.params[:, :, 0])))
-    t_sampling = max(best_full - best_probe, 0.25 * best_full)
-    return mu_ess / t_sampling, mu_ess / best_full
+    e = float(ess_bulk(coord))
+    return e / best_sampling, e / best_full, False
+
+
+def bench_ess_per_s_chees(model):
+    """No-knobs ChEES-HMC through the LIBRARY fused pipeline (r4): ONE
+    Pallas launch runs the whole warmup with per-step live tile-pooled
+    adaptation, then the frozen kernel with the host-staged static Halton
+    trajectory schedule. Steady-state from the directly timed frozen
+    launch (module docstring)."""
+    from advancedmh_tpu import ChEESHMC
+
+    spl = ChEESHMC(initial_step_size=0.05, initial_trajectory_length=0.25,
+                   max_leapfrog=16)
+    return _ess_staged_chees(
+        model, spl, N_CHAINS, jnp.asarray([0.0, 1.0])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -376,48 +398,15 @@ def bench_ess_logreg_adaptive_hmc(model):
 
 
 def bench_ess_logreg_chees(model):
-    """No-knobs ChEES at d=32 through the library fused pipeline."""
+    """No-knobs ChEES at d=32 through the library fused pipeline (β₀
+    diagnosed; stage-clock steady number, module docstring)."""
     from advancedmh_tpu import ChEESHMC
-    from advancedmh_tpu.diagnostics import ess
-    from advancedmh_tpu.runtime.fused import sample_fused_chees
 
     spl = ChEESHMC(initial_step_size=0.1, initial_trajectory_length=1.0,
                    max_leapfrog=16)
-
-    def pipeline(n, k):
-        tr, _ = sample_fused_chees(
-            model, spl, n, key=jax.random.key(k),
-            num_chains=LOGREG_CHAINS, initial_params=jnp.zeros(LOGREG_DIM),
-            num_warmup=N_WARM, discard_initial=N_WARM, thinning=1,
-        )
-        float(tr.lp[0, -1])  # scalar-read fence
-        return tr
-
-    for k in (1, 2, 3):
-        pipeline(N_DRAWS, k)
-        pipeline(PROBE_DRAWS, k)
-    best_full, best_probe, best = float("inf"), float("inf"), None
-    for k in (1, 2, 3):
-        t0 = time.perf_counter()
-        tr = pipeline(N_DRAWS, k)
-        tf = time.perf_counter() - t0
-        if tf < best_full:
-            # Keep only the β₀ slice + acceptance: holding the full (C, N,
-            # d) result across trials is ~4 GB at d=32 and OOMs HBM.
-            best_full = tf
-            best = (
-                jnp.transpose(tr.params[:, :, 0]),
-                float(np.asarray(tr.accepted).mean()),
-            )
-        del tr
-        t0 = time.perf_counter()
-        pipeline(PROBE_DRAWS, k)
-        best_probe = min(best_probe, time.perf_counter() - t0)
-    mu, acc = best
-    assert 0.2 < acc < 0.99, f"degenerate ChEES acceptance {acc}"
-    b0_ess = float(ess(mu))
-    t_sampling = max(best_full - best_probe, 0.25 * best_full)
-    return b0_ess / t_sampling, b0_ess / best_full
+    return _ess_staged_chees(
+        model, spl, LOGREG_CHAINS, jnp.zeros(LOGREG_DIM)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -433,46 +422,14 @@ FUNNEL_CHAINS = 8192
 
 def bench_ess_funnel_chees(model):
     """No-knobs ChEES on the funnel through the library fused pipeline
-    (the geometry-test configuration, tests/test_pallas.py funnel test)."""
+    (v, the log-scale coordinate, diagnosed; stage-clock steady number)."""
     from advancedmh_tpu import ChEESHMC
-    from advancedmh_tpu.diagnostics import ess
-    from advancedmh_tpu.runtime.fused import sample_fused_chees
 
     spl = ChEESHMC(initial_step_size=0.2, initial_trajectory_length=1.0,
                    max_leapfrog=16)
-
-    def pipeline(n, k):
-        tr, _ = sample_fused_chees(
-            model, spl, n, key=jax.random.key(k),
-            num_chains=FUNNEL_CHAINS, initial_params=jnp.zeros(FUNNEL_DIM),
-            num_warmup=N_WARM, discard_initial=N_WARM, thinning=1,
-        )
-        float(tr.lp[0, -1])  # scalar-read fence
-        return tr
-
-    for k in (1, 2, 3):
-        pipeline(N_DRAWS, k)
-        pipeline(PROBE_DRAWS, k)
-    best_full, best_probe, best = float("inf"), float("inf"), None
-    for k in (1, 2, 3):
-        t0 = time.perf_counter()
-        tr = pipeline(N_DRAWS, k)
-        tf = time.perf_counter() - t0
-        if tf < best_full:
-            best_full = tf
-            best = (
-                jnp.transpose(tr.params[:, :, 0]),
-                float(np.asarray(tr.accepted).mean()),
-            )
-        del tr
-        t0 = time.perf_counter()
-        pipeline(PROBE_DRAWS, k)
-        best_probe = min(best_probe, time.perf_counter() - t0)
-    v, acc = best
-    assert 0.2 < acc < 0.99, f"degenerate funnel ChEES acceptance {acc}"
-    v_ess = float(ess(v))
-    t_sampling = max(best_full - best_probe, 0.25 * best_full)
-    return v_ess / t_sampling, v_ess / best_full
+    return _ess_staged_chees(
+        model, spl, FUNNEL_CHAINS, jnp.zeros(FUNNEL_DIM)
+    )
 
 
 def bench_ess_funnel_slice(model):
@@ -521,9 +478,10 @@ def main():
         ("ess_per_s_mu_chees", bench_ess_per_s_chees),
     ]:
         try:
-            steady, amortized = fn(model)
+            steady, amortized, floored = fn(model)
             ess_fields[field] = steady
             ess_fields[field + "_amortized"] = amortized
+            ess_fields[field + "_floored"] = floored
         except Exception as e:
             print(f"{field} skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -538,9 +496,10 @@ def main():
         ("ess_per_s_logreg32_chees", bench_ess_logreg_chees),
     ]:
         try:
-            steady, amortized = fn(logreg)
+            steady, amortized, floored = fn(logreg)
             ess_fields[field] = steady
             ess_fields[field + "_amortized"] = amortized
+            ess_fields[field + "_floored"] = floored
         except Exception as e:
             print(f"{field} skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -555,9 +514,10 @@ def main():
         ("ess_per_s_funnel10_slice", bench_ess_funnel_slice),
     ]:
         try:
-            steady, amortized = fn(funnel)
+            steady, amortized, floored = fn(funnel)
             ess_fields[field] = steady
             ess_fields[field + "_amortized"] = amortized
+            ess_fields[field + "_floored"] = floored
         except Exception as e:
             print(f"{field} skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -573,7 +533,11 @@ def main():
                 "vs_baseline": throughput / REFERENCE_SEQ_THROUGHPUT,
                 "ess_convention": (
                     f"{N_WARM} warmup + {N_DRAWS} draws, 16384 chains, "
-                    "steady-state headline / _amortized companion "
+                    "rank-normalized bulk ESS (diagnostics.ess_bulk); "
+                    "steady-state headline / _amortized companion; "
+                    "_floored=true marks probe-subtraction rows clipped "
+                    "by the 25% floor (lower bounds); chees rows time the "
+                    "frozen launch directly, never floored "
                     "(bench.py docstring)"
                 ),
                 **ess_fields,

@@ -273,6 +273,22 @@ class TestDiagnostics:
         assert float(ess_tail(x)) > 0.3 * n_total
         assert abs(float(rhat_rank(x)) - 1.0) < 0.02
 
+    def test_rank_normalized_big_batch_finite(self):
+        """f32 regression (r5): at > 2²⁴ pooled draws the extreme
+        fractional ranks round to exactly 0/1 and Φ⁻¹ returns ±inf —
+        which poisoned the FFT autocovariance and made ess_bulk report
+        N·C/1e-6 (~1e13) at bench scale. The clip keeps every score
+        finite and ESS ≈ n for iid draws."""
+        from advancedmh_tpu import ess_bulk
+        from advancedmh_tpu.diagnostics.ess import _rank_normalize
+
+        n, c = 1100, 16384  # n·c = 18.0M > 2^24
+        x = jax.random.normal(jax.random.key(8), (n, c))
+        z = _rank_normalize(x)
+        assert bool(jnp.isfinite(z).all())
+        e = float(ess_bulk(x))
+        assert 0.5 * n * c < e < 1.6 * n * c
+
     def test_rank_normalized_robust_to_heavy_tails(self):
         """Cauchy draws break the plain moment-based ESS (infinite variance);
         the rank-normalized bulk ESS still reads ~n — the point of
