@@ -73,6 +73,8 @@ from .samplers import (
     AdaptiveHMCState,
     ChEESHMC,
     ChEESHMCState,
+    MEADS,
+    MEADSState,
     EllipticalSlice,
     MultipleTryMetropolis,
     SliceSampler,
@@ -127,6 +129,7 @@ __all__ = [
     "swap_rates", "tune_betas",
     "AdaptiveMetropolis", "AdaptiveMetropolisState", "Barker", "HamiltonianMC",
     "AdaptiveHMC", "AdaptiveHMCState", "ChEESHMC", "ChEESHMCState",
+    "MEADS", "MEADSState",
     "EllipticalSlice", "MultipleTryMetropolis", "SliceSampler",
     "DifferentialEvolution", "StepSizeAdaptation", "optimal_rwmh_accept",
     "Transition", "GradientTransition",

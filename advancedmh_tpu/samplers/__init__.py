@@ -20,6 +20,7 @@ from .barker import Barker
 from .hmc import HamiltonianMC
 from .hmc_adapt import AdaptiveHMC, AdaptiveHMCState
 from .chees import ChEESHMC, ChEESHMCState
+from .meads import MEADS, MEADSState
 from .ess import EllipticalSlice
 from .mtm import MultipleTryMetropolis
 from .slice import SliceSampler
@@ -59,6 +60,8 @@ __all__ = [
     "AdaptiveHMCState",
     "ChEESHMC",
     "ChEESHMCState",
+    "MEADS",
+    "MEADSState",
     "EllipticalSlice",
     "MultipleTryMetropolis",
     "SliceSampler",

@@ -121,6 +121,48 @@ class TestNealFunnel:
         assert (v < -2).mean() > (v_fixed < -2).mean()
 
 
+class TestMEADSGeometry:
+    """MEADS (r5): the warmup-free cross-fold GHMC on the two hard
+    geometries. The per-step fold statistics re-tune (σ, ε, γ) as the
+    ensemble spreads — no warmup phase exists to get wrong."""
+
+    def test_funnel_neck(self):
+        """v-marginal within the fixed-metric-HMC band: MEADS's σ tracks
+        the ensemble spread but a diagonal preconditioner still cannot
+        fully enter the deep neck (the Neal 2003 lesson — same calibrated
+        expectation as ChEES, docs/design.md §6c)."""
+        from advancedmh_tpu import MEADS
+
+        model = neal_funnel_model(10)
+        res = sample(
+            model, MEADS(), 2500, key=0, num_chains=512,
+            discard_initial=1500, initial_params=jnp.zeros(10),
+            chain_type="raw",
+        )
+        v = np.asarray(res.transitions.params)[:, :, 0]
+        assert np.isfinite(np.asarray(res.transitions.lp)).all()
+        assert abs(v.mean()) < 0.4
+        assert 2.3 < v.std() < 3.3
+        assert abs((v < -2).mean() - _P_NECK2) < 0.07
+        assert (v < -4).mean() > 0.0  # reaches the deep neck
+
+    def test_banana_ridge(self):
+        """The curved ridge: per-step re-estimated fold statistics keep ε
+        matched to the local curvature as chains traverse the ridge —
+        variances within the ChEES band."""
+        from advancedmh_tpu import MEADS
+
+        model = banana_model()
+        res = sample(
+            model, MEADS(), 3000, key=0, num_chains=512,
+            discard_initial=1500, initial_params=jnp.zeros(2),
+            chain_type="raw",
+        )
+        x = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(x.var(0), [100.0, 19.0], rtol=0.15)
+        assert abs(x.mean(0)[0]) < 1.5 and abs(x.mean(0)[1]) < 0.4
+
+
 class TestHaarioBanana:
     C, W = 512, 800
 
