@@ -1527,6 +1527,135 @@ def sample_fused_chees(
     return transitions, _replace(wstate, inner=inner)
 
 
+def sample_fused_meads(
+    model,
+    sampler,
+    n_samples: int,
+    *,
+    key: KeyArray,
+    num_chains: int,
+    initial_params,
+    discard_initial: int,
+    thinning: int,
+    tile_chains: int = 4096,
+    initial_state=None,
+    iteration_offset: int = 0,
+    mesh=None,
+    mesh_axis: str = "chains",
+):
+    """Fused MEADS engine (ops/pallas_meads.py): the whole warmup-free
+    sampler VMEM-resident — per-step fold statistics, max-eigenvalue
+    estimates, and GHMC moves all in one launch. Folds are TILE-LOCAL
+    (each chain tile is an independent MEADS ensemble; a ≥256-lane fold
+    gives far lower-variance statistics than the paper's ~32-chain folds,
+    ≙ the fused ChEES warmup's tile-local pooling stance).
+
+    Edge-padding note: at ragged chain counts the clone lanes are full
+    ensemble members (every fold statistic is a per-step mean over live
+    chains, no cumulative count to bias — unlike the ChEES warmup's
+    Welford totals); their draws are simply trimmed. The only transient is
+    that clones start at a duplicated position, which washes out like any
+    shared init.
+
+    ``initial_state`` (a batched ``MEADSState``) resumes mid-run: the
+    persistent momentum p, Neal slice u, gradient, and absolute iteration
+    count (a runtime scalar — resume never recompiles) are staged back in,
+    so a chunked run continues the exact non-reversible chain."""
+    from ..ops.pallas_meads import fused_meads_sample
+    from ..samplers.meads import MEADSState
+
+    resume = initial_state is not None
+    if initial_params is None and not resume:
+        raise ValueError("engine='fused' requires initial_params")
+    d = model.dimension
+    if d is None:
+        src = (
+            initial_state.x if resume else initial_params
+        )
+        d = int(np.asarray(src).shape[-1])
+    K = int(sampler.n_folds)
+    tile_fn, consts = _tile_density_of(model)
+    burn = max(discard_initial - thinning, 0)
+    # Wide tiles pay directly here: the fold-sequential sweep runs K
+    # narrow (tile/K-lane) density evals per step, so per-step VPU
+    # utilization scales with the tile (r5 sweep at d=2: 1024 → 5.0e8,
+    # 8192 → 8.0e8 chain-steps/s). Budget 4 MiB keeps d=32 at the
+    # measured-optimal 1024 tile.
+    c_pad, tile = _fused_tiling(
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=4 << 20,
+    )
+    if tile % (128 * K) != 0:
+        raise ValueError(
+            f"engine='fused' MEADS needs the chain tile ({tile}) to be a "
+            f"multiple of 128*n_folds ({128 * K}) — use a per-device "
+            f"chain count that is a multiple of {128 * K} (the XLA "
+            "engine handles arbitrary counts)."
+        )
+
+    run = _cached_engine(
+        fused_meads_sample, tile_fn, consts, d=d, n_samples=n_samples,
+        n_folds=K, burn=burn, thin=thinning,
+        step_size_multiplier=sampler.step_size_multiplier,
+        step_size_clip=sampler.step_size_clip,
+        damping_slowdown=sampler.damping_slowdown,
+        diagonal_preconditioning=sampler.diagonal_preconditioning,
+        accept=sampler.accept,
+        tile_chains=tile,
+    )
+    const_args = tuple(jnp.asarray(c) for c in consts)
+    if resume:
+        x_t = jnp.transpose(jnp.asarray(initial_state.x, jnp.float32))
+        lp0 = jnp.asarray(initial_state.lp, jnp.float32)[None, :]
+        g0 = jnp.transpose(jnp.asarray(initial_state.grad, jnp.float32))
+        p0 = jnp.transpose(jnp.asarray(initial_state.p, jnp.float32))
+        u0 = jnp.asarray(initial_state.u, jnp.float32)[None, :]
+        t0 = float(np.asarray(initial_state.iteration).reshape(-1)[0])
+        key_seed = key
+    else:
+        init = jnp.asarray(initial_params, jnp.float32)
+        x_t = (
+            jnp.broadcast_to(init[:, None], (d, num_chains))
+            if init.ndim == 1
+            else jnp.asarray(init).T
+        )
+        lp0 = tile_fn(x_t, *const_args)
+        g0 = jax.grad(lambda xm: jnp.sum(tile_fn(xm, *const_args)))(x_t)
+        key_p, key_u, key_seed = jax.random.split(key, 3)
+        p0 = jax.random.normal(key_p, (d, num_chains), jnp.float32)
+        u0 = jax.random.uniform(key_u, (1, num_chains), jnp.float32)
+        t0 = 0.0
+    # t0 closes over BEFORE the shard/pad wrappers: it is a replicated
+    # scalar, not a chain-sharded array.
+    core = lambda x, l, g, p, u, seed: run(
+        x, l, g, p, u, jnp.float32(t0), seed
+    )
+    if mesh is not None:
+        core = _shard_fused(core, mesh, mesh_axis)
+    core = _pad_chains(core, num_chains, c_pad)
+    seed = jax.random.randint(key_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
+    samples, lps, accs, x_f, lp_f, g_f, p_f, u_f = core(
+        x_t, lp0, g0, p0, u0, seed
+    )
+    _fence_launch(samples)
+
+    params = jnp.transpose(samples, (2, 0, 1))  # (C, N, d)
+    lp = jnp.transpose(lps[:, 0, :], (1, 0))
+    accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
+    transitions = Transition(params, lp, accepted)
+    C = num_chains
+    steps = burn + n_samples * thinning
+    final_state = MEADSState(
+        x=jnp.transpose(x_f),
+        lp=lp_f[0],
+        grad=jnp.transpose(g_f),
+        p=jnp.transpose(p_f),
+        u=u_f[0],
+        iteration=jnp.full((C,), int(t0) + steps + 1, jnp.int32),
+        isaccept=accepted[:, -1],
+    )
+    return transitions, final_state
+
+
 def sample_fused_barker(
     model,
     sampler,

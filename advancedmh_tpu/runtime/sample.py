@@ -388,6 +388,7 @@ def sample(
         from ..samplers.hmc_adapt import AdaptiveHMC as _AHMC
         from ..samplers.chees import ChEESHMC as _ChEES
         from ..samplers.mala import MALA as _MALA
+        from ..samplers.meads import MEADS as _MEADS
         from ..samplers.slice import SliceSampler as _Slice
         from ..samplers.adapt import StepSizeAdaptation as _SSA
         from ..samplers.ram import RobustAdaptiveMetropolis
@@ -405,6 +406,7 @@ def sample(
             sample_fused_pcn,
             sample_fused_hmc,
             sample_fused_mala,
+            sample_fused_meads,
             sample_fused_slice,
             sample_fused_ram,
             sample_fused_tempering,
@@ -439,6 +441,7 @@ def sample(
         resume_re = None
         resume_chees = None
         resume_adapt = None
+        resume_meads = None
         if initial_state is not None:
             if isinstance(sampler, RobustAdaptiveMetropolis):
                 initial_params = initial_state.x
@@ -456,6 +459,10 @@ def sample(
                 resume_adapt = initial_state
             elif isinstance(sampler, _ChEES):
                 resume_chees = initial_state
+            elif isinstance(sampler, _MEADS):
+                # MEADS never freezes: resume stages the full persistent
+                # state (x, grad, p, u, iteration) back into the kernel.
+                resume_meads = initial_state
             else:
                 initial_params = initial_state.params
         if isinstance(sampler, _Ensemble):
@@ -583,6 +590,16 @@ def sample(
                 initial_params=initial_params,
                 discard_initial=schedule.discard_initial,
                 thinning=schedule.thinning,
+                **mesh_kw,
+            )
+        elif isinstance(sampler, _MEADS):
+            transitions, final_state = sample_fused_meads(
+                model, sampler, n_samples, key=fkey, num_chains=num_chains,
+                initial_params=initial_params,
+                discard_initial=schedule.discard_initial,
+                thinning=schedule.thinning,
+                initial_state=resume_meads,
+                iteration_offset=offset,
                 **mesh_kw,
             )
         elif isinstance(sampler, _MALA):

@@ -268,6 +268,28 @@ def bench_ess_per_s_adaptive_hmc(model):
     )
 
 
+def bench_ess_per_s_meads(model):
+    """Warmup-free MEADS (r5): no adaptation phase exists — the probe
+    subtraction cancels only convergence burn-in + launch overhead, so
+    steady ≈ the whole-run rate. n_folds=2 / tile 8192 are the measured
+    wide-fold layout optimum (a parallelism choice, not a density knob —
+    ε, γ, σ all self-tune per step from the complementary fold)."""
+    from advancedmh_tpu.ops.pallas_meads import fused_meads_sample
+
+    params, consts, lp0 = _readme_inputs(model)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm, *consts)))(params)
+    k1, k2 = jax.random.split(jax.random.key(99))
+    p0 = jax.random.normal(k1, (2, N_CHAINS), jnp.float32)
+    u0 = jax.random.uniform(k2, (1, N_CHAINS), jnp.float32)
+    build = lambda n, w: fused_meads_sample(
+        model.tile_density, d=2, n_samples=n, burn=w, thin=1, n_folds=2,
+        consts=model.tile_consts, tile_chains=8192,
+    )
+    return _ess_single_launch(
+        build, (params, lp0, g0, p0, u0, 0.0), acc_band=(0.5, 1.001)
+    )
+
+
 def _ess_staged_chees(model, spl, n_chains, init, diag_coord=0):
     """ChEES harness riding the library fused pipeline with its stage
     clock (VERDICT r4 #2): steady-state = ESS / t(frozen launch) — the
@@ -397,6 +419,24 @@ def bench_ess_logreg_adaptive_hmc(model):
     return _ess_single_launch(build, args, acc_band=(0.1, 0.99))
 
 
+def bench_ess_logreg_meads(model):
+    """Warmup-free MEADS at d=32 (r5): the hard-target row where
+    no-warmup pays — amortized ≈ steady, vs ChEES's warmup+staging tax."""
+    from advancedmh_tpu.ops.pallas_meads import fused_meads_sample
+
+    params, lp0, g0 = _logreg_inputs(model, with_grad=True)
+    k1, k2 = jax.random.split(jax.random.key(99))
+    p0 = jax.random.normal(k1, (LOGREG_DIM, LOGREG_CHAINS), jnp.float32)
+    u0 = jax.random.uniform(k2, (1, LOGREG_CHAINS), jnp.float32)
+    build = lambda n, w: fused_meads_sample(
+        model.tile_density, d=LOGREG_DIM, n_samples=n, burn=w, thin=1,
+        n_folds=2, consts=model.tile_consts, tile_chains=1024,
+    )
+    return _ess_single_launch(
+        build, (params, lp0, g0, p0, u0, 0.0), acc_band=(0.5, 1.001)
+    )
+
+
 def bench_ess_logreg_chees(model):
     """No-knobs ChEES at d=32 through the library fused pipeline (β₀
     diagnosed; stage-clock steady number, module docstring)."""
@@ -476,6 +516,7 @@ def main():
         ("ess_per_s_mu_adapt_rwmh", bench_ess_per_s_adapt_rwmh),
         ("ess_per_s_mu_adaptive_hmc", bench_ess_per_s_adaptive_hmc),
         ("ess_per_s_mu_chees", bench_ess_per_s_chees),
+        ("ess_per_s_mu_meads", bench_ess_per_s_meads),
     ]:
         try:
             steady, amortized, floored = fn(model)
@@ -494,6 +535,7 @@ def main():
         ("ess_per_s_logreg32_mala", bench_ess_logreg_mala),
         ("ess_per_s_logreg32_adaptive_hmc", bench_ess_logreg_adaptive_hmc),
         ("ess_per_s_logreg32_chees", bench_ess_logreg_chees),
+        ("ess_per_s_logreg32_meads", bench_ess_logreg_meads),
     ]:
         try:
             steady, amortized, floored = fn(logreg)

@@ -1216,6 +1216,82 @@ class TestFusedAdaptiveHMC:
 
 
 @requires_tpu
+class TestFusedMEADS:
+    """Fused warmup-free MEADS engine (ops/pallas_meads.py, r5): per-step
+    tile-local fold statistics + GHMC with persistent momentum and Neal
+    slice, all VMEM-resident."""
+
+    def _model(self, SIG):
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+
+        return correlated_gaussian_model(SIG)
+
+    def test_sample_engine_fused_meads(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MEADS, sample
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        res = sample(
+            self._model(SIG), MEADS(), 2000, key=0, num_chains=2048,
+            engine="fused", discard_initial=500,
+            initial_params=jnp.zeros(2),
+        )
+        d = np.asarray(res.transitions.params).reshape(-1, 2)
+        np.testing.assert_allclose(d.mean(0), np.zeros(2), atol=0.05)
+        np.testing.assert_allclose(np.cov(d.T), SIG, rtol=0.08, atol=0.04)
+        acc = float(np.asarray(res.transitions.accepted).mean())
+        assert 0.8 < acc <= 1.0  # conservative eps → high GHMC acceptance
+        u = np.asarray(res.final_state.u)
+        assert ((u >= 0.0) & (u < 1.0)).all()
+
+    def test_fused_meads_thinning_and_two_folds(self):
+        """thin > 1 selects a different static loop structure; n_folds=2
+        is the wide-fold configuration the bench rows use."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MEADS, sample
+
+        SIG = np.diag([25.0, 1.0]).astype(np.float32)
+        res = sample(
+            self._model(SIG), MEADS(n_folds=2), 1000, key=1,
+            num_chains=2048, engine="fused", discard_initial=1000,
+            thinning=2, initial_params=jnp.zeros(2),
+        )
+        d = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert d.shape == (1000 * 2048, 2)
+        np.testing.assert_allclose(
+            d.var(0), np.array([25.0, 1.0]), rtol=0.1
+        )
+
+    def test_chunked_fused_meads_resume(self):
+        """Chunked fused MEADS: the persistent (p, u, grad, iteration)
+        travel through the chunk boundary — the non-reversible chain
+        continues rather than restarting, and the posterior matches."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import MEADS
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        SIG = np.array([[1.0, 0.5], [0.5, 1.0]], dtype=np.float32)
+        res = sample_chunked(
+            self._model(SIG), MEADS(), 2000, chunk_size=1000, key=2,
+            num_chains=2048, engine="fused", discard_initial=500,
+            initial_params=jnp.zeros(2),
+        )
+        d = np.asarray(res.transitions.params).reshape(-1, 2)
+        assert d.shape == (2000 * 2048, 2)
+        np.testing.assert_allclose(np.cov(d.T), SIG, rtol=0.08, atol=0.04)
+        st = res.final_state
+        assert int(np.asarray(st.iteration).reshape(-1)[0]) > 2000
+        u = np.asarray(st.u)
+        assert ((u >= 0.0) & (u < 1.0)).all()
+
+
+@requires_tpu
 class TestFusedChEES:
     """Two-stage fused ChEES engine (ops/pallas_chees.py +
     runtime/fused.py::sample_fused_chees): XLA cross-chain warmup, then the
