@@ -137,6 +137,26 @@ class TestMechanics:
         assert 0.6 < acc <= 1.0
 
 
+class TestChunked:
+    def test_chunked_resume_bit_exact(self):
+        """Chunked XLA MEADS equals the unchunked run bitwise: the state
+        (incl. persistent p/u) threads through the chunk boundary and the
+        absolute-iteration RNG indexing never re-derives keys."""
+        from advancedmh_tpu.runtime.chunked import sample_chunked
+
+        model = correlated_gaussian_model(
+            np.array([[1.0, 0.5], [0.5, 1.0]], np.float32)
+        )
+        kw = dict(key=9, num_chains=64, discard_initial=50,
+                  initial_params=jnp.zeros(2), vectorized=True)
+        whole = sample(model, MEADS(), 200, **kw)
+        chunked = sample_chunked(model, MEADS(), 200, chunk_size=100, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(whole.transitions.params),
+            np.asarray(chunked.transitions.params),
+        )
+
+
 class TestSharded:
     def test_mesh_sharded_moments(self):
         """Chains shard over the 8-device mesh; the per-fold reductions
