@@ -107,6 +107,70 @@ def _flatten_prior(prior, key_proto):
     return draw_flat, prior_lp_flat, unravel, d
 
 
+def _evidence_estimates(
+    lls, acc_np, scales, betas_t, n_samples, K, C, min_acceptance,
+) -> Dict[str, Any]:
+    """Stepping-stone + TI estimates from rung draws ``lls (N, K, C)`` —
+    shared by the XLA and fused engines (identical estimator code paths,
+    so the engines differ only in where the chains ran).
+
+    Runs on the HOST in float64: the draws are f32 device output, but the
+    logsumexp chain accumulates K·N·C transcendentals — on-device f32 (TPU
+    exp/log at a few ULP) leaves ~5e-4 of noise on log Z, visible against
+    the exact-zero flat-likelihood contract and needlessly inflating the
+    SE-vs-bias margin. A (N, K, C) pull is a few MB at realistic sizes."""
+    lls = np.asarray(lls, np.float64)
+    betas_arr = np.asarray(betas_t, np.float64)
+    mean_ll = lls.mean(axis=(0, 2))  # (K,) E_β[log L]
+    # TI: trapezoid over the ladder
+    log_z_ti = float(np.sum(
+        0.5 * (mean_ll[1:] + mean_ll[:-1]) * np.diff(betas_arr)
+    ))
+
+    def lse(a, axis):
+        mx = np.max(a, axis=axis, keepdims=True)
+        out = mx.squeeze(axis) + np.log(
+            np.sum(np.exp(a - mx), axis=axis)
+        )
+        return out
+
+    # Stepping-stone: Σ_k logmeanexp((β_{k+1}−β_k)·ℓ_k) over rung-k draws
+    db = np.diff(betas_arr).reshape(-1, 1, 1)  # (K-1, 1, 1)
+    rung_draws = lls[:, :-1, :].transpose(1, 0, 2)  # (K-1, N, C)
+    # per-chain log-mean-exp (chains are independent → SE from their spread)
+    m_kc = lse(db * rung_draws, axis=1) - math.log(n_samples)  # (K-1, C)
+    m_k = lse(m_kc, axis=1) - math.log(C)  # (K-1,)
+    log_z_ss = float(np.sum(m_k))
+    # delta method: SE(log r̂_k) ≈ sd_c(w̃)/√C with w̃ = exp(m_kc − m_k)
+    # (mean-1 normalized per-chain weights); rungs independent ⇒ quadrature.
+    w = np.exp(m_kc - m_k[:, None])
+    se_k = w.std(axis=1, ddof=1) / math.sqrt(C)
+    se_ss = float(np.sqrt(np.sum(se_k**2)))
+
+    bad = np.nonzero(acc_np < min_acceptance)[0]
+    if bad.size:
+        warnings.warn(
+            f"log_evidence: ladder rungs {bad.tolist()} (β = "
+            f"{[round(betas_t[i], 4) for i in bad.tolist()]}) have acceptance "
+            f"{[round(float(acc_np[i]), 3) for i in bad.tolist()]} < "
+            f"{min_acceptance}; their stepping-stone factors come from "
+            "near-frozen chains and may bias log Z. Increase n_samples, use "
+            "proposal_scale='auto', or refine the ladder.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+    return {
+        "log_z_ss": float(log_z_ss),
+        "se_ss": se_ss,
+        "log_z_ti": float(log_z_ti),
+        "betas": betas_t,
+        "mean_loglik": np.asarray(mean_ll),
+        "acceptance": acc_np,
+        "proposal_scales": scales,
+    }
+
+
 def log_evidence(
     loglik_fn: Callable[[Any], jax.Array],
     prior,
@@ -119,6 +183,10 @@ def log_evidence(
     discard_initial: Optional[int] = None,
     target_accept: float = 0.234,
     min_acceptance: float = 0.1,
+    engine: str = "xla",
+    loglik_tile_fn: Optional[Callable] = None,
+    loglik_tile_consts: Tuple = (),
+    tile_chains: int = 1024,
     d: Optional[int] = None,  # kept for API compat; inferred from the prior
 ) -> Dict[str, Any]:
     """Estimate log Z = log ∫ p(x) L(x) dx.
@@ -141,6 +209,17 @@ def log_evidence(
     median of the scales actually used). Any rung with acceptance below
     ``min_acceptance`` raises a ``UserWarning`` — its stepping-stone factor
     is built from a frozen chain and may silently bias log Z.
+
+    ``engine="fused"`` (r5, TPU only) runs the whole K·C ladder batch in
+    ONE Pallas launch (ops/pallas_evidence.py): per-chain β and
+    dual-averaged ε in VMEM, log-likelihood draws streamed to HBM, the
+    identical estimator code on the result. Scope: the prior must be a
+    pytree of elementwise Gaussians (``Normal`` / diagonal ``MvNormal`` —
+    the in-kernel prior density), and the likelihood must be
+    Pallas-traceable — jnp-composed ``loglik_fn`` works as-is, or pass an
+    explicit tile form ``loglik_tile_fn((d, TC), *loglik_tile_consts) ->
+    (1, TC)``. Same estimators, same SE contract, ~4× the XLA wall-clock
+    at 16 rungs × 256 chains (measured r5).
     """
     if betas is None:
         betas = power_ladder()
@@ -158,6 +237,18 @@ def log_evidence(
     key_init, key_run = jax.random.split(master)
 
     draw_flat, prior_lp_flat, unravel, d = _flatten_prior(prior, master)
+
+    if engine == "fused":
+        return _log_evidence_fused(
+            loglik_fn, prior, n_samples, betas_t=betas_t, C=C, burn=burn,
+            key_init=key_init, key_run=key_run,
+            proposal_scale=proposal_scale, target_accept=target_accept,
+            min_acceptance=min_acceptance, loglik_tile_fn=loglik_tile_fn,
+            loglik_tile_consts=loglik_tile_consts, tile_chains=tile_chains,
+            draw_flat=draw_flat, unravel=unravel, d=d,
+        )
+    if engine != "xla":
+        raise ValueError(f"Unknown engine: {engine!r}")
 
     # flat (B,) β vector: rung k occupies chains [k*C, (k+1)*C)
     beta_vec = jnp.repeat(jnp.asarray(betas_t, jnp.float32), C)
@@ -243,51 +334,157 @@ def log_evidence(
     scales = np.median(
         np.asarray(eps_final).reshape(K, C), axis=1
     )  # (K,)
-
-    betas_arr = jnp.asarray(betas_t)
-    mean_ll = jnp.mean(lls, axis=(0, 2))  # (K,) E_β[log L]
-    # TI: trapezoid over the ladder
-    log_z_ti = jnp.sum(
-        0.5 * (mean_ll[1:] + mean_ll[:-1]) * (betas_arr[1:] - betas_arr[:-1])
+    return _evidence_estimates(
+        lls, np.asarray(acc), scales, betas_t, n_samples, K, C,
+        min_acceptance,
     )
-    # Stepping-stone: Σ_k logmeanexp((β_{k+1}−β_k)·ℓ_k) over rung-k draws
-    db = (betas_arr[1:] - betas_arr[:-1]).reshape(-1, 1, 1)  # (K-1, 1, 1)
-    rung_draws = lls[:, :-1, :].transpose(1, 0, 2)  # (K-1, N, C)
-    # per-chain log-mean-exp (chains are independent → SE from their spread)
-    m_kc = jax.scipy.special.logsumexp(
-        db * rung_draws, axis=1
-    ) - math.log(n_samples)  # (K-1, C)
-    m_k = jax.scipy.special.logsumexp(m_kc, axis=1) - math.log(C)  # (K-1,)
-    log_z_ss = jnp.sum(m_k)
-    # delta method: SE(log r̂_k) ≈ sd_c(w̃)/√C with w̃ = exp(m_kc − m_k)
-    # (mean-1 normalized per-chain weights); rungs independent ⇒ quadrature.
-    w = np.exp(np.asarray(m_kc - m_k[:, None]))
-    se_k = w.std(axis=1, ddof=1) / math.sqrt(C)
-    se_ss = float(np.sqrt(np.sum(se_k**2)))
 
-    acc_np = np.asarray(acc)
-    bad = np.nonzero(acc_np < min_acceptance)[0]
-    if bad.size:
-        warnings.warn(
-            f"log_evidence: ladder rungs {bad.tolist()} (β = "
-            f"{[round(betas_t[i], 4) for i in bad.tolist()]}) have acceptance "
-            f"{[round(float(acc_np[i]), 3) for i in bad.tolist()]} < "
-            f"{min_acceptance}; their stepping-stone factors come from "
-            "near-frozen chains and may bias log Z. Increase n_samples, use "
-            "proposal_scale='auto', or refine the ladder.",
-            UserWarning,
-            stacklevel=2,
+
+_FUSED_TILES = {}
+
+
+def _gaussian_prior_columns(prior, proto_key):
+    """(loc, scale) flat vectors of an elementwise-Gaussian prior pytree —
+    the in-kernel prior form of the fused evidence engine. Raises for any
+    leaf that is not a ``Normal`` or diagonal ``MvNormal``."""
+    from ..distributions import MvNormal, Normal
+
+    leaves, treedef = jax.tree_util.tree_flatten(prior, is_leaf=_is_dist)
+    locs, scales = [], []
+    for leaf, k in zip(leaves, jax.random.split(proto_key, len(leaves))):
+        shape = jnp.shape(leaf.sample(k))
+        if isinstance(leaf, MvNormal):
+            if leaf.scale_tril is not None:
+                raise ValueError(
+                    "engine='fused' log_evidence needs an elementwise "
+                    "Gaussian prior (Normal / diagonal MvNormal); "
+                    "scale_tril priors run on the XLA engine."
+                )
+            s = leaf.scale_diag if leaf.scale_diag is not None else leaf.scale
+        elif isinstance(leaf, Normal):
+            s = leaf.scale
+        else:
+            raise ValueError(
+                "engine='fused' log_evidence needs a Normal / diagonal "
+                f"MvNormal prior pytree (got {type(leaf).__name__}); "
+                "general priors run on the XLA engine."
+            )
+        locs.append(jnp.broadcast_to(jnp.asarray(leaf.loc, jnp.float32),
+                                     shape).reshape(-1))
+        scales.append(jnp.broadcast_to(jnp.asarray(s, jnp.float32),
+                                       shape).reshape(-1))
+    return jnp.concatenate(locs), jnp.concatenate(scales)
+
+
+def _log_evidence_fused(
+    loglik_fn, prior, n_samples, *, betas_t, C, burn, key_init, key_run,
+    proposal_scale, target_accept, min_acceptance, loglik_tile_fn,
+    loglik_tile_consts, tile_chains, draw_flat, unravel, d,
+) -> Dict[str, Any]:
+    """Fused power-posterior run (see ``log_evidence`` docstring): one
+    Pallas launch for the whole K·C flat ladder batch, then the shared
+    estimator code."""
+    from ..ops.pallas_evidence import fused_power_rwmh
+    from .fused import _cached_engine, _fence_launch, _fused_tiling
+
+    K = len(betas_t)
+    B = K * C
+    loc, scale = _gaussian_prior_columns(prior, key_init)
+    b_pad, tile = _fused_tiling(B, tile_chains, None, "chains", d=d)
+    batched = jax.vmap(lambda v: loglik_fn(unravel(v)))
+    if loglik_tile_fn is None:
+        # Auto tile form: batch the user's loglik over the transposed tile
+        # and LIFT its closed-over arrays (observed data, etc.) into
+        # explicit const inputs — Pallas kernels cannot capture arrays.
+        # closure_convert jaxprs are shape-specialized, so the trace runs
+        # at the exact (d, tile) width the kernel evaluates. Cached so the
+        # engine cache keys stay stable across calls.
+        tkey = (
+            loglik_fn, d, tile,
+            jax.tree_util.tree_structure(prior, is_leaf=_is_dist),
         )
+        if tkey not in _FUSED_TILES:
+            # jax.closure_convert does NOT hoist concrete captured arrays
+            # (they stay baked as jaxpr consts and Pallas rejects them);
+            # make_jaxpr exposes them as constvars we can feed explicitly.
+            import jax.core as _jcore
 
-    return {
-        "log_z_ss": float(log_z_ss),
-        "se_ss": se_ss,
-        "log_z_ti": float(log_z_ti),
-        "betas": betas_t,
-        "mean_loglik": np.asarray(mean_ll),
-        "acceptance": acc_np,
-        "proposal_scales": scales,
-    }
+            closed = jax.make_jaxpr(lambda xt: batched(xt.T)[None, :])(
+                jnp.zeros((d, tile), jnp.float32)
+            )
+            lifted = tuple(jnp.asarray(c) for c in closed.consts)
+            # The kernel builder 2-D-ifies <2-D consts (Pallas blocks);
+            # restore the lifted arrays' own shapes before the jaxpr eval.
+            shapes = tuple(jnp.shape(c) for c in lifted)
+
+            def tile_fn(xt, *cs, _jaxpr=closed.jaxpr, _shapes=shapes):
+                return _jcore.eval_jaxpr(
+                    _jaxpr,
+                    [c.reshape(s) for c, s in zip(cs, _shapes)],
+                    xt,
+                )[0]
+
+            _FUSED_TILES[tkey] = (tile_fn, lifted)
+        tile_fn, consts = _FUSED_TILES[tkey]
+    else:
+        tile_fn = loglik_tile_fn
+        consts = tuple(loglik_tile_consts)
+
+    adapt = proposal_scale == "auto"
+    if adapt:
+        eps0 = jnp.full((1, B), 0.5, jnp.float32)
+    elif isinstance(proposal_scale, str):
+        raise ValueError(f"unknown proposal_scale: {proposal_scale!r}")
+    else:
+        ps = jnp.asarray(proposal_scale, jnp.float32)
+        if ps.ndim == 0:
+            eps0 = jnp.full((1, B), ps)
+        elif ps.shape == (K,):
+            eps0 = jnp.repeat(ps, C)[None, :]
+        else:
+            raise ValueError(
+                f"proposal_scale must be 'auto', a scalar, or a length-{K} "
+                f"per-rung sequence; got shape {ps.shape}"
+            )
+
+    run = _cached_engine(
+        fused_power_rwmh, tile_fn, consts, d=d, n_samples=n_samples,
+        burn=burn, adapt=adapt, target_accept=target_accept,
+        tile_chains=tile,
+    )
+    x0 = jax.vmap(draw_flat)(jax.random.split(key_init, B))  # (B, d)
+    x_t = jnp.asarray(x0, jnp.float32).T  # (d, B)
+    # Host-side init eval uses the plain batched closure: the kernel tile
+    # form is shape-specialized to the tile width, x_t here is (d, B).
+    ll0 = batched(x0)[None, :]
+    z0 = (x_t - loc[:, None]) / scale[:, None]
+    plp0 = jnp.sum(
+        -0.5 * z0 * z0 - jnp.log(scale)[:, None]
+        - 0.5 * math.log(2.0 * math.pi),
+        axis=0, keepdims=True,
+    )
+    beta_row = jnp.repeat(jnp.asarray(betas_t, jnp.float32), C)[None, :]
+    # Edge-pad the flat batch to the tile multiple (clone lanes are real
+    # β=1 chains whose draws are trimmed — no estimator contamination).
+    pad = lambda a: jnp.pad(
+        a, [(0, 0), (0, b_pad - B)], mode="edge"
+    ) if b_pad != B else a
+    seed = jax.random.randint(key_run, (), 0, 2**31 - 1, dtype=jnp.int32)
+    lls, accs, eps_final = run(
+        pad(x_t), pad(ll0), pad(plp0), pad(beta_row), pad(eps0),
+        loc, scale, seed,
+    )
+    _fence_launch(lls)
+    lls = lls[:, 0, :B].reshape(n_samples, K, C)
+    acc = np.asarray(
+        accs[:, 0, :B].reshape(n_samples, K, C).mean(axis=(0, 2))
+    )
+    scales = np.median(
+        np.asarray(eps_final[0, :B]).reshape(K, C), axis=1
+    )
+    return _evidence_estimates(
+        lls, acc, scales, betas_t, n_samples, K, C, min_acceptance,
+    )
 
 
 def log_evidence_ais(

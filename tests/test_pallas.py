@@ -1216,6 +1216,62 @@ class TestFusedAdaptiveHMC:
 
 
 @requires_tpu
+class TestFusedEvidence:
+    """Fused power-posterior evidence engine (ops/pallas_evidence.py, r5):
+    the whole K·C ladder batch — per-chain β + in-kernel dual averaging —
+    in ONE launch, with log-likelihood draws streamed to the shared
+    stepping-stone/TI estimator code."""
+
+    @staticmethod
+    def _analytic(y, sigma, tau):
+        n = len(y)
+        cov = sigma**2 * np.eye(n) + tau**2 * np.ones((n, n))
+        _, logdet = np.linalg.slogdet(2.0 * np.pi * cov)
+        return float(-0.5 * (logdet + y @ np.linalg.solve(cov, y)))
+
+    def test_conjugate_within_3se(self):
+        """The existing log_evidence contract on the fused engine: the
+        conjugate Normal-Normal marginal likelihood within 3·SE (plus the
+        auto dual-averaging keeping every rung near the 0.234 target)."""
+        from advancedmh_tpu import MvNormal, Normal, log_evidence
+
+        y = np.asarray([0.8, 1.3, 0.2, 1.0, 0.6], np.float32)
+        y_j = jnp.asarray(y)
+
+        def loglik(theta):
+            return jnp.sum(Normal(theta[0], 1.0).log_prob(y_j))
+
+        out = log_evidence(
+            loglik, MvNormal(jnp.zeros(1), scale=1.0), 3000, key=0,
+            num_chains=256, engine="fused",
+        )
+        want = self._analytic(y, 1.0, 1.0)
+        assert abs(out["log_z_ss"] - want) < 3.0 * out["se_ss"] + 0.02
+        assert abs(out["log_z_ti"] - want) < 0.1
+        assert np.all(out["acceptance"] > 0.15)
+        assert np.all(out["acceptance"] < 0.35)
+
+    def test_flat_likelihood_exact_zero(self):
+        from advancedmh_tpu import MvNormal, log_evidence
+
+        out = log_evidence(
+            lambda th: jnp.zeros(()), MvNormal(jnp.zeros(2), scale=1.0),
+            200, key=1, num_chains=64, engine="fused",
+        )
+        assert abs(out["log_z_ss"]) < 1e-5
+        assert abs(out["log_z_ti"]) < 1e-5
+
+    def test_non_gaussian_prior_rejected(self):
+        from advancedmh_tpu import InverseGamma, log_evidence
+
+        with pytest.raises(ValueError, match="MvNormal prior"):
+            log_evidence(
+                lambda th: jnp.zeros(()), InverseGamma(2.0, 3.0), 100,
+                key=2, num_chains=64, engine="fused",
+            )
+
+
+@requires_tpu
 class TestFusedMEADS:
     """Fused warmup-free MEADS engine (ops/pallas_meads.py, r5): per-step
     tile-local fold statistics + GHMC with persistent momentum and Neal
