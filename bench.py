@@ -489,6 +489,46 @@ def bench_ess_funnel_slice(model):
     return _ess_single_launch(build, (params, lp0), acc_band=(0.2, 1.001))
 
 
+def bench_evidence():
+    """Fused power-posterior evidence (r5): conjugate Normal-Normal logZ —
+    correctness against the closed form (within 3·SE is the library test
+    contract) and wall-clock speedup over the XLA ladder at the same
+    16-rung × 256-chain, 3000-step configuration."""
+    from advancedmh_tpu import MvNormal, Normal, log_evidence
+
+    y = np.asarray([0.8, 1.3, 0.2, 1.0, 0.6], np.float32)
+    y_j = jnp.asarray(y)
+
+    def loglik(theta):
+        return jnp.sum(Normal(theta[0], 1.0).log_prob(y_j))
+
+    n = len(y)
+    cov = np.eye(n) + np.ones((n, n))
+    _, logdet = np.linalg.slogdet(2.0 * np.pi * cov)
+    want = float(-0.5 * (logdet + y @ np.linalg.solve(cov, y)))
+    prior = MvNormal(jnp.zeros(1), scale=1.0)
+    kw = dict(num_chains=256)
+    log_evidence(loglik, prior, 3000, key=0, engine="fused", **kw)  # compile
+    log_evidence(loglik, prior, 3000, key=0, **kw)
+    best_f, best_x, out_f = float("inf"), float("inf"), None
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        o = log_evidence(loglik, prior, 3000, key=k, engine="fused", **kw)
+        dt = time.perf_counter() - t0
+        if dt < best_f:
+            best_f, out_f = dt, o
+        t0 = time.perf_counter()
+        log_evidence(loglik, prior, 3000, key=k, **kw)
+        best_x = min(best_x, time.perf_counter() - t0)
+    err = abs(out_f["log_z_ss"] - want)
+    assert err < 3.0 * out_f["se_ss"] + 0.02, (err, out_f["se_ss"])
+    return {
+        "evidence_logz_fused_abs_err": err,
+        "evidence_logz_se": out_f["se_ss"],
+        "evidence_fused_speedup_vs_xla": best_x / best_f,
+    }
+
+
 def main():
     from advancedmh_tpu.models.targets import gaussian_mean_scale_model
 
@@ -564,6 +604,13 @@ def main():
             print(f"{field} skipped ({type(e).__name__}: {e})",
                   file=sys.stderr)
             ess_fields[field] = None
+
+    # Fused evidence row (r5): correctness + speedup, one compact group.
+    try:
+        ess_fields.update(bench_evidence())
+    except Exception as e:
+        print(f"evidence row skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
 
     print(
         json.dumps(
