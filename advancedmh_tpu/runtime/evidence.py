@@ -108,7 +108,8 @@ def _flatten_prior(prior, key_proto):
 
 
 def _evidence_estimates(
-    lls, acc_np, scales, betas_t, n_samples, K, C, min_acceptance,
+    lls, acc_np, scales, betas_t, n_samples, C, min_acceptance,
+    stacklevel: int = 3,
 ) -> Dict[str, Any]:
     """Stepping-stone + TI estimates from rung draws ``lls (N, K, C)`` —
     shared by the XLA and fused engines (identical estimator code paths,
@@ -118,8 +119,13 @@ def _evidence_estimates(
     logsumexp chain accumulates K·N·C transcendentals — on-device f32 (TPU
     exp/log at a few ULP) leaves ~5e-4 of noise on log Z, visible against
     the exact-zero flat-likelihood contract and needlessly inflating the
-    SE-vs-bias margin. A (N, K, C) pull is a few MB at realistic sizes."""
-    lls = np.asarray(lls, np.float64)
+    SE-vs-bias margin. The pull routes through ``utils.safe_device_get``
+    (the CLAUDE.md big-transfer guard: sliced ≤64 MB transfers + element
+    verification) — at large (N, K, C) this buffer is exactly the fused-
+    output shape the 524 MB corruption was observed on."""
+    from ..utils import safe_device_get
+
+    lls = np.asarray(safe_device_get(lls), np.float64)
     betas_arr = np.asarray(betas_t, np.float64)
     mean_ll = lls.mean(axis=(0, 2))  # (K,) E_β[log L]
     # TI: trapezoid over the ladder
@@ -157,7 +163,7 @@ def _evidence_estimates(
             "near-frozen chains and may bias log Z. Increase n_samples, use "
             "proposal_scale='auto', or refine the ladder.",
             UserWarning,
-            stacklevel=3,
+            stacklevel=stacklevel,
         )
 
     return {
@@ -218,8 +224,8 @@ def log_evidence(
     the in-kernel prior density), and the likelihood must be
     Pallas-traceable — jnp-composed ``loglik_fn`` works as-is, or pass an
     explicit tile form ``loglik_tile_fn((d, TC), *loglik_tile_consts) ->
-    (1, TC)``. Same estimators, same SE contract, ~4× the XLA wall-clock
-    at 16 rungs × 256 chains (measured r5).
+    (1, TC)``. Same estimators, same SE contract, 2-5× the XLA wall-clock at
+    16 rungs × 256 chains (measured r5 band; tunnel-variance dependent).
     """
     if betas is None:
         betas = power_ladder()
@@ -335,7 +341,7 @@ def log_evidence(
         np.asarray(eps_final).reshape(K, C), axis=1
     )  # (K,)
     return _evidence_estimates(
-        lls, np.asarray(acc), scales, betas_t, n_samples, K, C,
+        lls, np.asarray(acc), scales, betas_t, n_samples, C,
         min_acceptance,
     )
 
@@ -398,9 +404,21 @@ def _log_evidence_fused(
         # explicit const inputs — Pallas kernels cannot capture arrays.
         # closure_convert jaxprs are shape-specialized, so the trace runs
         # at the exact (d, tile) width the kernel evaluates. Cached so the
-        # engine cache keys stay stable across calls.
+        # engine cache keys stay stable across calls; the key covers the
+        # prior's tree structure AND per-leaf shapes (they determine the
+        # unravel boundaries baked into the jaxpr). Contract: loglik_fn is
+        # assumed pure w.r.t. its captured arrays — if the data it closes
+        # over changes between calls, pass a fresh function object (or an
+        # explicit loglik_tile_fn + loglik_tile_consts).
+        leaves = jax.tree_util.tree_flatten(prior, is_leaf=_is_dist)[0]
+        leaf_shapes = tuple(
+            tuple(jnp.shape(leaf.sample(k)))
+            for leaf, k in zip(
+                leaves, jax.random.split(key_init, len(leaves))
+            )
+        )
         tkey = (
-            loglik_fn, d, tile,
+            loglik_fn, d, tile, leaf_shapes,
             jax.tree_util.tree_structure(prior, is_leaf=_is_dist),
         )
         if tkey not in _FUSED_TILES:
@@ -483,7 +501,8 @@ def _log_evidence_fused(
         np.asarray(eps_final[0, :B]).reshape(K, C), axis=1
     )
     return _evidence_estimates(
-        lls, acc, scales, betas_t, n_samples, K, C, min_acceptance,
+        lls, acc, scales, betas_t, n_samples, C, min_acceptance,
+        stacklevel=4,  # user -> log_evidence -> _log_evidence_fused -> here
     )
 
 

@@ -1560,7 +1560,18 @@ def sample_fused_meads(
     ``initial_state`` (a batched ``MEADSState``) resumes mid-run: the
     persistent momentum p, Neal slice u, gradient, and absolute iteration
     count (a runtime scalar — resume never recompiles) are staged back in,
-    so a chunked run continues the exact non-reversible chain."""
+    so a chunked run continues the exact non-reversible chain.
+
+    Iteration accounting: the kernel's step index is ``t0 + j`` with
+    ``t0 = 1 + iteration_offset`` fresh (matching the XLA sampler's
+    1-based ``state.iteration``) or the resumed state's count; the
+    returned ``iteration`` counts the steps the kernel ACTUALLY ran —
+    ``burn + ceil(n_samples/E)·E·thin`` — which overruns ``n_samples`` by
+    up to ``(E−1)·thin`` steps when ``n_samples`` is not a multiple of
+    the 32-draw emission block (the final persistent state sits those few
+    steps past the last emitted draw; a resumed chunk continues from it,
+    so the gap draws are simply never emitted — distribution-equal, the
+    standing fused-chunking contract)."""
     from ..ops.pallas_meads import fused_meads_sample
     from ..samplers.meads import MEADSState
 
@@ -1623,7 +1634,8 @@ def sample_fused_meads(
         key_p, key_u, key_seed = jax.random.split(key, 3)
         p0 = jax.random.normal(key_p, (d, num_chains), jnp.float32)
         u0 = jax.random.uniform(key_u, (1, num_chains), jnp.float32)
-        t0 = 0.0
+        # 1-based first step (≙ the XLA sampler's iteration init).
+        t0 = 1.0 + float(iteration_offset or 0)
     # t0 closes over BEFORE the shard/pad wrappers: it is a replicated
     # scalar, not a chain-sharded array.
     core = lambda x, l, g, p, u, seed: run(
@@ -1643,14 +1655,17 @@ def sample_fused_meads(
     accepted = jnp.transpose(accs[:, 0, :], (1, 0)) > 0.5
     transitions = Transition(params, lp, accepted)
     C = num_chains
-    steps = burn + n_samples * thinning
+    # Steps the kernel actually ran (docstring: emission blocks of E).
+    E = min(32, n_samples)
+    n_pad = -(-n_samples // E) * E
+    steps = burn + n_pad * thinning
     final_state = MEADSState(
         x=jnp.transpose(x_f),
         lp=lp_f[0],
         grad=jnp.transpose(g_f),
         p=jnp.transpose(p_f),
         u=u_f[0],
-        iteration=jnp.full((C,), int(t0) + steps + 1, jnp.int32),
+        iteration=jnp.full((C,), int(t0) + steps, jnp.int32),
         isaccept=accepted[:, -1],
     )
     return transitions, final_state
