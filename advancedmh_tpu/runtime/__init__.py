@@ -10,12 +10,14 @@ from .sample import (
 from .checkpoint import save_state, load_state
 from .chunked import ChunkInfo, sample_chunked
 from .evidence import log_evidence, log_evidence_ais, power_ladder
+from .smc import smc_sample
 
 __all__ = [
     "Schedule",
     "sample",
     "log_evidence",
     "log_evidence_ais",
+    "smc_sample",
     "power_ladder",
     "build_chain_fn",
     "SamplingResult",
