@@ -472,6 +472,27 @@ def bench_ess_funnel_chees(model):
     )
 
 
+def bench_ess_funnel_meads(model):
+    """Warmup-free MEADS on the funnel (r5): per-step fold statistics
+    re-tune (sigma, eps, gamma) as the ensemble spreads down the neck —
+    no warmup phase exists to mis-adapt."""
+    from advancedmh_tpu.ops.pallas_meads import fused_meads_sample
+
+    params = jnp.zeros((FUNNEL_DIM, FUNNEL_CHAINS), jnp.float32)
+    lp0 = model.tile_density(params)
+    g0 = jax.grad(lambda xm: jnp.sum(model.tile_density(xm)))(params)
+    k1, k2 = jax.random.split(jax.random.key(99))
+    p0 = jax.random.normal(k1, (FUNNEL_DIM, FUNNEL_CHAINS), jnp.float32)
+    u0 = jax.random.uniform(k2, (1, FUNNEL_CHAINS), jnp.float32)
+    build = lambda n, w: fused_meads_sample(
+        model.tile_density, d=FUNNEL_DIM, n_samples=n, burn=w, thin=1,
+        n_folds=2, consts=(), tile_chains=2048,
+    )
+    return _ess_single_launch(
+        build, (params, lp0, g0, p0, u0, 0.0), acc_band=(0.5, 1.001)
+    )
+
+
 def bench_ess_funnel_slice(model):
     """SliceSampler on the funnel (width = 3, the marginal std of v —
     slice sampling is the step-size-free alternative for necks)."""
@@ -593,6 +614,7 @@ def main():
     funnel = neal_funnel_model(FUNNEL_DIM)
     for field, fn in [
         ("ess_per_s_funnel10_chees", bench_ess_funnel_chees),
+        ("ess_per_s_funnel10_meads", bench_ess_funnel_meads),
         ("ess_per_s_funnel10_slice", bench_ess_funnel_slice),
     ]:
         try:
