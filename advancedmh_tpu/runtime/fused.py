@@ -1033,6 +1033,8 @@ def fused_chees_warmup(
     g_t,
     num_warmup: int,
     tile_chains: int = 4096,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Fused ChEES warmup (VERDICT r4 #1): the warmup phase in ONE Pallas
     launch instead of the XLA scan. Motivation is twofold: the XLA warmup
@@ -1063,11 +1065,19 @@ def fused_chees_warmup(
 
     Returns a fully-populated replicated ``ChEESHMCState`` (≙ the XLA
     warmup's), so frozen staging, resume, and checkpointing behave
-    identically downstream."""
+    identically downstream.
+
+    ``mesh`` (r5, opt-in via ``warmup_engine="fused"``) shards the warmup
+    launch over the chains axis: each device runs the kernel on its chain
+    shard with a strided PRNG seed, the per-TILE stat blocks come back
+    concatenated along the stats axis, and the existing cross-tile combine
+    merges tiles from ALL devices (averaged scalars + exact Welford merge
+    — the combine never cared which device a tile ran on). Adaptation
+    pooling is tile-local either way; only the combine is global."""
     from ..ops.pallas_chees import vdc
 
     c_pad, tile = _fused_tiling(
-        num_chains, tile_chains, None, "chains", d=d, vmem_budget=2 << 20,
+        num_chains, tile_chains, mesh, mesh_axis, d=d, vmem_budget=2 << 20,
     )
     sv = np.zeros((9, 1), np.float32)
     sv[0, 0] = sv[1, 0] = math.log(sampler.initial_step_size)
@@ -1083,6 +1093,13 @@ def fused_chees_warmup(
     # pooled statistics (VERDICT r4 #5) and count only real observations
     # in the combine.
     valid = num_chains if c_pad != num_chains else None
+    if mesh is not None and valid is not None:
+        raise ValueError(
+            "sharded fused ChEES warmup needs the chain count to be a "
+            f"multiple of 128 x n_devices (got {num_chains}): the ragged-"
+            "lane mask uses shard-local tile indices and would zero the "
+            "wrong lanes. Pad the chain count or use warmup_engine='xla'."
+        )
     max_l = int(sampler.max_leapfrog)
     r = float(sampler.mass_regularization)
     # Period = largest divisor of num_warmup ≤ 16 (exactly num_warmup
@@ -1109,9 +1126,22 @@ def fused_chees_warmup(
             jax.random.fold_in(jax.random.fold_in(key, 1), attempt),
             (), 0, 2**31 - 1, dtype=jnp.int32,
         )
-        xo, lpo, go, acc, sv_wide, sumx_wide, sumx2_wide = run(
-            x, lp, g, sv, minv, seed
-        )
+        if mesh is None:
+            xo, lpo, go, acc, sv_wide, sumx_wide, sumx2_wide = run(
+                x, lp, g, sv, minv, seed
+            )
+        else:
+            # Shard the launch over chains; sv/minv are replicated
+            # closures (a (9, 1) column cannot shard), per-shard seeds
+            # stride via _shard_fused, and the per-tile stat outputs
+            # concatenate along the stats axis for the global combine.
+            sharded = _shard_fused(
+                lambda xx, ll, gg, sd, _r=run: _r(xx, ll, gg, sv, minv, sd),
+                mesh, mesh_axis,
+            )
+            xo, lpo, go, acc, sv_wide, sumx_wide, sumx2_wide = sharded(
+                x, lp, g, seed
+            )
         out = _chees_warmup_combine(
             sv_wide, sumx_wide, sumx2_wide, xo, lpo, go, acc, minv,
             m_obs=float(num_chains * num_warmup),
@@ -1338,11 +1368,12 @@ def sample_fused_chees(
        per-step live adaptation pooled exactly within each chain tile,
        cross-tile combine afterwards, static trip schedule staged from
        the initial T₀/ε₀ ratio with a consistency re-run if the adapted
-       ratio lands far off it. Falls back to the XLA engine
-       (``step_warmup_batched`` scanned at the full chain batch) when a
-       mesh is given (the fused warmup's pooling is tile-local, so
-       sharded warmup stays on XLA/GSPMD where the reductions compile to
-       psums) or with ``warmup_engine="xla"``.
+       ratio lands far off it. Under a mesh, ``"auto"`` falls back to the
+       XLA engine (``step_warmup_batched`` scanned at the full batch —
+       its pooled reductions are exact GLOBAL psums over ICI), while
+       ``warmup_engine="fused"`` opts into the SHARDED fused warmup
+       (r5): per-shard launches whose per-tile stat blocks merge in the
+       same cross-tile combine. ``warmup_engine="xla"`` forces XLA.
     2. **Frozen phase on the fused Pallas kernel** — the two adapted
        scalars (ε̄, T̄) are host-staged (~ms transfer), the trajectory
        ratio is quantized to ``R = round(T̄/ε̄)``, and a deterministic
@@ -1408,14 +1439,14 @@ def sample_fused_chees(
     if warmup_engine not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown warmup_engine {warmup_engine!r}")
     if initial_state is None:
-        use_fused_warmup = warmup_engine != "xla" and mesh is None
-        if warmup_engine == "fused" and not use_fused_warmup:
-            raise ValueError(
-                "warmup_engine='fused' needs mesh=None (sharded warmup "
-                "runs on XLA/GSPMD, where the pooled cross-chain "
-                "reductions compile to psums over ICI — the fused "
-                "warmup's pooling is tile-local); use 'auto' or 'xla'."
-            )
+        # auto: fused warmup on a single device, XLA warmup under a mesh
+        # (its pooled reductions are exact GLOBAL psums). "fused" with a
+        # mesh is supported opt-in (r5): each shard warms its own tiles
+        # and the cross-tile combine merges them — statistically the same
+        # tile-local-pooling design, just spread over devices.
+        use_fused_warmup = warmup_engine == "fused" or (
+            warmup_engine == "auto" and mesh is None
+        )
         init = jnp.asarray(initial_params, jnp.float32)
         if use_fused_warmup:
             # Stage 1 (fused) — single-launch Pallas warmup (VERDICT r4
@@ -1429,6 +1460,7 @@ def sample_fused_chees(
             wstate, sv_dev, minv_dev = fused_chees_warmup(
                 tile_fn, consts, sampler, d, num_chains, key,
                 x_t0, lp00, g00, num_warmup,
+                mesh=mesh, mesh_axis=mesh_axis,
             )
             fast_stage = (sv_dev, minv_dev)
         else:

@@ -317,9 +317,10 @@ class TestFusedChEESPlumbing:
                    initial_params=jnp.zeros(2))
 
     def test_chees_warmup_engine_guard(self):
-        """warmup_engine='fused' is single-host only (sharded warmup runs
-        on XLA/GSPMD); with a mesh it must raise, and unknown values are
-        rejected — both before any kernel compiles."""
+        """Unknown warmup_engine values are rejected before any kernel
+        compiles; a sharded fused warmup (r5 opt-in) with a RAGGED chain
+        count must raise too — the clone-lane mask uses shard-local tile
+        indices and would zero the wrong lanes."""
         from advancedmh_tpu import ChEESHMC
         from advancedmh_tpu.parallel.mesh import make_mesh
         from advancedmh_tpu.runtime.fused import sample_fused_chees
@@ -331,12 +332,13 @@ class TestFusedChEESPlumbing:
         )
         with pytest.raises(ValueError, match="warmup_engine"):
             sample_fused_chees(
-                self._model(), ChEESHMC(), 4, warmup_engine="fused",
-                mesh=make_mesh(axis="chains"), **kw,
-            )
-        with pytest.raises(ValueError, match="warmup_engine"):
-            sample_fused_chees(
                 self._model(), ChEESHMC(), 4, warmup_engine="nope", **kw,
+            )
+        ragged = dict(kw, num_chains=1000)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            sample_fused_chees(
+                self._model(), ChEESHMC(), 4, warmup_engine="fused",
+                mesh=make_mesh(axis="chains"), **ragged,
             )
 
     def test_chees_resume_needs_chunk_schedule(self):

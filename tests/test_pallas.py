@@ -1535,6 +1535,54 @@ class TestFusedChEES:
         np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.08)
         np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.2)
 
+    def test_fused_warmup_sharded_mesh(self):
+        """Sharded fused warmup (r5 opt-in): warmup_engine='fused' with a
+        mesh runs the warmup launch per shard and merges the per-tile
+        stats in the global combine. On the 1-device mesh available here
+        the adaptation must land in the same band as the unsharded launch
+        (same design, shard_map-wrapped), and the full pipeline must
+        recover the posterior."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advancedmh_tpu import ChEESHMC
+        from advancedmh_tpu.models.targets import correlated_gaussian_model
+        from advancedmh_tpu.parallel.mesh import make_mesh
+        from advancedmh_tpu.runtime.fused import sample_fused_chees
+
+        SIG = np.array([[1.5, 0.35], [0.35, 1.0]], dtype=np.float32)
+        model = correlated_gaussian_model(SIG)
+        spl = ChEESHMC(
+            initial_step_size=0.1, initial_trajectory_length=0.5,
+            max_leapfrog=8,
+        )
+        kw = dict(
+            key=jax.random.key(9), num_chains=4096,
+            initial_params=jnp.zeros(2), num_warmup=400,
+            discard_initial=400, thinning=1,
+        )
+        tr_s, st_s = sample_fused_chees(
+            model, spl, 600, warmup_engine="fused",
+            mesh=make_mesh(axis="chains"), **kw,
+        )
+        tr_u, st_u = sample_fused_chees(
+            model, spl, 600, warmup_engine="fused", **kw
+        )
+
+        def adapted(st):
+            return (
+                float(np.exp(np.asarray(st.log_eps_bar).reshape(-1)[0])),
+                float(np.exp(np.asarray(st.log_traj_bar).reshape(-1)[0])),
+            )
+
+        eps_s, t_s = adapted(st_s)
+        eps_u, t_u = adapted(st_u)
+        assert 0.6 < eps_s / eps_u < 1.6
+        assert 0.4 < t_s / t_u < 2.5
+        draws = np.asarray(tr_s.params).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(0), np.zeros(2), atol=0.06)
+        np.testing.assert_allclose(np.cov(draws.T), SIG, atol=0.16)
+
     def test_fused_warmup_adapt_mass_off(self):
         """ChEESHMC(adapt_mass=False) on the fused warmup: the inverse
         mass must stay identity through warmup and combine (the welford
