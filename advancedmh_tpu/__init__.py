@@ -90,6 +90,7 @@ from .runtime import (
     log_evidence,
     log_evidence_ais,
     smc_sample,
+    svgd_sample,
     power_ladder,
     sample,
     sample_chunked,
@@ -136,7 +137,7 @@ __all__ = [
     "Transition", "GradientTransition",
     "getparams", "setparams",
     # runtime
-    "sample", "sample_chunked", "ChunkInfo", "log_evidence", "log_evidence_ais", "smc_sample", "power_ladder", "Schedule", "SamplingResult",
+    "sample", "sample_chunked", "ChunkInfo", "log_evidence", "log_evidence_ais", "smc_sample", "svgd_sample", "power_ladder", "Schedule", "SamplingResult",
     "MCMCSerial", "MCMCThreads", "MCMCDistributed",
     "save_state", "load_state",
     # output / diagnostics

@@ -11,6 +11,7 @@ from .checkpoint import save_state, load_state
 from .chunked import ChunkInfo, sample_chunked
 from .evidence import log_evidence, log_evidence_ais, power_ladder
 from .smc import smc_sample
+from .svgd import svgd_sample
 
 __all__ = [
     "Schedule",
@@ -18,6 +19,7 @@ __all__ = [
     "log_evidence",
     "log_evidence_ais",
     "smc_sample",
+    "svgd_sample",
     "power_ladder",
     "build_chain_fn",
     "SamplingResult",
