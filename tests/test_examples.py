@@ -78,3 +78,7 @@ def test_chees_example():
 
 def test_geometry_example():
     _run("geometry_example", {"N_SAMPLES": "600"})
+
+
+def test_particles_example():
+    _run("particles_example", {"N_SAMPLES": "800", "NUM_CHAINS": "128"})
