@@ -411,8 +411,9 @@ def _log_evidence_fused(
         # over changes between calls, pass a fresh function object (or an
         # explicit loglik_tile_fn + loglik_tile_consts).
         leaves = jax.tree_util.tree_flatten(prior, is_leaf=_is_dist)[0]
+        # eval_shape: shapes without materializing real draws per call.
         leaf_shapes = tuple(
-            tuple(jnp.shape(leaf.sample(k)))
+            tuple(jax.eval_shape(leaf.sample, k).shape)
             for leaf, k in zip(
                 leaves, jax.random.split(key_init, len(leaves))
             )

@@ -1635,6 +1635,9 @@ def sample_fused_meads(
             "engine handles arbitrary counts)."
         )
 
+    # One emission-block constant shared between the kernel build and the
+    # step accounting below — never let them drift apart.
+    spb = 32
     run = _cached_engine(
         fused_meads_sample, tile_fn, consts, d=d, n_samples=n_samples,
         n_folds=K, burn=burn, thin=thinning,
@@ -1643,7 +1646,7 @@ def sample_fused_meads(
         damping_slowdown=sampler.damping_slowdown,
         diagonal_preconditioning=sampler.diagonal_preconditioning,
         accept=sampler.accept,
-        tile_chains=tile,
+        tile_chains=tile, samples_per_block=spb,
     )
     const_args = tuple(jnp.asarray(c) for c in consts)
     if resume:
@@ -1688,7 +1691,7 @@ def sample_fused_meads(
     transitions = Transition(params, lp, accepted)
     C = num_chains
     # Steps the kernel actually ran (docstring: emission blocks of E).
-    E = min(32, n_samples)
+    E = min(spb, n_samples)
     n_pad = -(-n_samples // E) * E
     steps = burn + n_pad * thinning
     final_state = MEADSState(

@@ -31,11 +31,10 @@ Prior/params contract ≙ ``log_evidence``: any pytree of Distributions,
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils import KeyArray, as_key
 from .evidence import _flatten_prior
@@ -48,7 +47,10 @@ def _systematic_resample(key, logw, n):
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key, ())
     pts = (u0 + jnp.arange(n, dtype=jnp.float32)) / n
-    return jnp.searchsorted(cum, pts)
+    # f32 cumsum can top out just below 1, sending the last stratified
+    # points past the end — clamp explicitly rather than relying on JAX's
+    # implicit out-of-range gather clamping.
+    return jnp.minimum(jnp.searchsorted(cum, pts), n - 1)
 
 
 def smc_sample(
@@ -113,7 +115,11 @@ def smc_sample(
         lo, hi = jax.lax.fori_loop(
             0, 40, body, (beta, jnp.float32(1.0))
         )
-        return jnp.where(full, jnp.float32(1.0), lo)
+        b_next = jnp.where(full, jnp.float32(1.0), lo)
+        # Realized conditional-ESS fraction at the choice (returned so the
+        # host loop never re-evaluates cess eagerly — each eager jnp op
+        # costs ~1-2 ms of tunnel dispatch).
+        return b_next, jnp.exp(cess(b_next - beta, ll)) / N
 
     @jax.jit
     def stage(k, x, ll, plp, beta, beta_next):
@@ -159,18 +165,24 @@ def smc_sample(
     x = jax.vmap(draw_flat)(jax.random.split(key_init, N))  # (N, d)
     ll = loglik_b(x)
     plp = prior_lp_b(x)
+    if not bool(jnp.isfinite(ll).all() & jnp.isfinite(plp).all()):
+        raise ValueError(
+            "smc_sample: non-finite log-likelihood or prior log-density "
+            "at the initial prior draws - the ESS bisection cannot make "
+            "progress. Guard the likelihood (e.g. clamp its support) "
+            "before running SMC."
+        )
     beta = 0.0
     log_z = 0.0
     betas, accs, ess_hist = [0.0], [], []
     for s in range(max_stages):
-        beta_next = float(pick_beta(jnp.float32(beta), ll))
+        beta_dev, cess_dev = pick_beta(jnp.float32(beta), ll)
+        beta_next, logw_cess = float(beta_dev), float(cess_dev)
         if beta_next <= beta + min_dbeta and beta_next < 1.0:
             # Degenerate likelihood spread (e.g. huge N, tiny target ESS):
             # force minimal progress rather than stalling forever.
             beta_next = min(1.0, beta + min_dbeta)
         k_s = jax.random.fold_in(key_run, s)
-        dbeta = beta_next - beta
-        logw_cess = float(jnp.exp(cess(jnp.float32(dbeta), ll))) / N
         x, ll, plp, log_z_inc, acc = stage(
             k_s, x, ll, plp, jnp.float32(beta), jnp.float32(beta_next)
         )

@@ -80,6 +80,11 @@ def svgd_sample(
                 f"got {x0.shape}"
             )
         d = x0.shape[1]
+        if model.dimension is not None and int(model.dimension) != d:
+            raise ValueError(
+                f"initial_particles dimension {d} != model.dimension "
+                f"{int(model.dimension)}"
+            )
     else:
         if model.dimension is None:
             raise ValueError(
