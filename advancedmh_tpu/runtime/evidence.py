@@ -224,8 +224,9 @@ def log_evidence(
     the in-kernel prior density), and the likelihood must be
     Pallas-traceable — jnp-composed ``loglik_fn`` works as-is, or pass an
     explicit tile form ``loglik_tile_fn((d, TC), *loglik_tile_consts) ->
-    (1, TC)``. Same estimators, same SE contract, 2-5× the XLA wall-clock at
-    16 rungs × 256 chains (measured r5 band; tunnel-variance dependent).
+    (1, TC)``. Same estimators, same SE contract, 1.5-5× the XLA wall-clock at
+    16 rungs × 256 chains (measured r5 band — wide because BOTH sides
+    ride the tunnel's timing variance).
     """
     if betas is None:
         betas = power_ladder()
